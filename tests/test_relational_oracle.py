@@ -1,0 +1,48 @@
+"""Every registered SQL-expressible plan must match its DuckDB oracle at
+sf0.01 (the same gate the driver runs for CORRECTNESS_r{N}.json)."""
+
+from __future__ import annotations
+
+import pytest
+
+from webcrawl_lowres_lang_spark.plans import relational  # noqa: F401
+
+try:
+    from webcrawl_lowres_lang_spark.plans import pipeline_ops  # noqa: F401
+except ImportError:
+    pass
+try:
+    from webcrawl_lowres_lang_spark.plans import crawl_ops  # noqa: F401
+except ImportError:
+    pass
+
+from webcrawl_lowres_lang_spark.plans.registry import REGISTRY
+
+from .oracle_harness import run_pair
+
+SF_DIR = "/root/testdata/sf0.01"
+
+SQL_CASES = sorted(name for name, spec in REGISTRY.items() if spec.oracle is not None)
+ROWS_ONLY_CASES = sorted(name for name, spec in REGISTRY.items() if spec.oracle is None)
+
+
+@pytest.mark.parametrize("name", SQL_CASES)
+def test_matches_duckdb_oracle(spark, name):
+    spec = REGISTRY[name]
+    run_pair(spark, SF_DIR, name, spec.fn, spec.oracle)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_CASES)
+def test_rows_only_runs(spark, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())

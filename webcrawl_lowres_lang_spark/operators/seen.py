@@ -1,0 +1,146 @@
+"""URL-seen set: exact hash-bucketed Parquet table + partitioned-Bloom
+fast path (SURVEY.md J5/E4; reference semantics: dedup-on-insert at
+``sql.py:147-159, 180-189, 213-246``).
+
+Correctness comes ONLY from the exact table (Bloom has no false negatives,
+so a Bloom-negative is *definitely unseen* and can skip the join; the
+Bloom-positive minority goes through the exact left-anti join). At 10^10
+URLs the anti-join probe side shrinks from |candidates| to
+|candidates| × (hit rate + fpp), which is what makes per-round dedup
+affordable; the exact table is bucketed by ``pmod(url_hash, n_buckets)``
+so the join shuffles only matching buckets and scans prune to the buckets
+present in the candidate batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+from .bloom import BloomConfig, PartitionedBloom, build_bloom_from_df
+
+SEEN_SCHEMA = StructType([
+    StructField("url_hash", LongType(), False),
+    StructField("bucket", LongType(), False),
+])
+
+
+class SeenSet:
+    """Persistent exact seen-set with an optional in-memory Bloom fast path.
+
+    Storage is an append-only bucket-partitioned Parquet directory — the
+    sandbox stand-in for an Iceberg table (same layout: MERGE-free appends
+    of pre-deduplicated keys; bucket partitioning ≅ Iceberg's
+    ``bucket(n_buckets, url_hash)`` transform). Swap `_write`/`_read` for
+    ``df.writeTo(table).append()`` on a cluster with an Iceberg catalog.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n_buckets: int = 64,
+        bloom_config: BloomConfig | None = None,
+    ):
+        self.spark = spark
+        self.path = path
+        self.n_buckets = n_buckets
+        self.bloom_config = bloom_config or BloomConfig(capacity=1_000_000, fpp=0.01)
+        self._bloom: PartitionedBloom | None = None
+        self._bloom_bc = None
+
+    # -- storage ------------------------------------------------------------
+
+    def _exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            n.startswith("bucket=") or n.endswith(".parquet") for n in os.listdir(self.path)
+        )
+
+    def load(self) -> DataFrame:
+        if not self._exists():
+            return self.spark.createDataFrame([], SEEN_SCHEMA)
+        return self.spark.read.parquet(self.path)
+
+    def count(self) -> int:
+        return self.load().count()
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn("bucket", F.pmod(F.col("url_hash"), F.lit(self.n_buckets)))
+
+    # -- core operator: filter-unseen ----------------------------------------
+
+    def filter_unseen(self, candidates: DataFrame, use_bloom: bool = True) -> DataFrame:
+        """Rows of ``candidates`` whose ``url_hash`` is not in the set.
+
+        Plan shape: [bloom pre-filter (pandas UDF, broadcast shards)] →
+        left-anti join against the exact table on (bucket, url_hash).
+        Without a loaded Bloom it is the plain exact anti-join.
+        """
+        seen = self.load()
+        cands = self._with_bucket(candidates)
+        if use_bloom and self._bloom_bc is not None:
+            maybe = self._might_contain_col(cands, "url_hash")
+            cands = cands.withColumn("__maybe_seen", maybe)
+            # definitely-unseen fast path skips the join entirely
+            fresh = cands.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
+            suspect = cands.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+            verified = suspect.join(
+                seen.select("bucket", "url_hash"), ["bucket", "url_hash"], "left_anti"
+            )
+            return fresh.unionByName(verified).drop("bucket")
+        return cands.join(
+            seen.select("bucket", "url_hash"), ["bucket", "url_hash"], "left_anti"
+        ).drop("bucket")
+
+    def _might_contain_col(self, df: DataFrame, key_col: str):
+        bc = self._bloom_bc
+
+        @F.pandas_udf(BooleanType())
+        def might_contain(keys: pd.Series) -> pd.Series:
+            bloom: PartitionedBloom = bc.value
+            return pd.Series(bloom.might_contain(keys.to_numpy()))
+
+        return might_contain(F.col(key_col))
+
+    # -- mutation -------------------------------------------------------------
+
+    def add(self, df: DataFrame) -> int:
+        """Append *new* hashes (caller usually passes filter_unseen output).
+
+        Dedups within the batch and against the store, then appends,
+        partitioned by bucket. Returns rows added. Also folds the new keys
+        into the in-memory Bloom if one is loaded (no rebuild per round).
+        """
+        new = self._with_bucket(df.select("url_hash").distinct())
+        new = new.join(
+            self.load().select("bucket", "url_hash"), ["bucket", "url_hash"], "left_anti"
+        )
+        pdf = new.toPandas() if self._bloom is not None else None
+        if pdf is not None:
+            # fold into the live bloom before persisting (small driver hop —
+            # per-round discovery batches, not the whole set)
+            self._bloom.add_many(pdf["url_hash"].to_numpy())
+            self._bloom_bc = self.spark.sparkContext.broadcast(self._bloom)
+            out = self.spark.createDataFrame(pdf[["url_hash", "bucket"]], SEEN_SCHEMA)
+        else:
+            out = new.select("url_hash", "bucket")
+        out.write.mode("append").partitionBy("bucket").parquet(self.path)
+        return out.count()
+
+    # -- bloom lifecycle -------------------------------------------------------
+
+    def build_bloom(self, depth: int = 2) -> PartitionedBloom:
+        """(Re)build the partitioned Bloom from the exact table via
+        treeAggregate-merged per-partition shards."""
+        self._bloom = build_bloom_from_df(self.load(), "url_hash", self.bloom_config, depth=depth)
+        self._bloom_bc = self.spark.sparkContext.broadcast(self._bloom)
+        return self._bloom
+
+    def enable_empty_bloom(self) -> None:
+        """Start a fresh crawl with an empty live Bloom (everything unseen)."""
+        self._bloom = PartitionedBloom(self.bloom_config)
+        self._bloom_bc = self.spark.sparkContext.broadcast(self._bloom)

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus the crawl-engine throughput job, and print
+ONE JSON line: {"metric", "value", "unit", "queries", "sf", ...}.
+
+value = end-to-end wall seconds for the whole headline suite (lower is
+better); "crawl" carries the north-rule metric (frontier-scheduling +
+fetch URLs/sec on the synthetic frontier).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from webcrawl_lowres_lang_spark.plans import pipeline_ops, relational  # noqa: F401
+from webcrawl_lowres_lang_spark.plans.registry import REGISTRY
+from webcrawl_lowres_lang_spark.session import DEFAULT_CPUS, get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "j1_join_group_agg",
+    "j5_seen_set_anti_join",
+    "a9_range_histogram",
+    "w2_ranked_enumerate",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_bruteforce_topk",
+    "text_langid_ngram",
+    "text_quality_score",
+    "events_sessionize",
+]
+
+CRAWL_BENCH = dict(
+    n_urls=20_000, n_pages=300, n_hosts=200, query_count=6, num_search_pages=2,
+    host_budget=8, rounds=3, validate_pixels=False,
+)
+
+
+def _force(df) -> None:
+    """Execute the full plan without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="bench", master=f"local[{DEFAULT_CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on the small sf so headline timings measure the
+    # queries, not first-query session initialization
+    _force(REGISTRY["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001"))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # crawl-engine throughput (north metric: URLs/sec through
+    # frontier-scheduling + fetch under politeness budget)
+    from webcrawl_lowres_lang_spark.streaming.crawler import CrawlConfig, CrawlEngine
+
+    with tempfile.TemporaryDirectory() as td:
+        t0 = time.perf_counter()
+        eng = CrawlEngine(spark, CrawlConfig(**CRAWL_BENCH), td)
+        eng.run()
+        crawl_secs = time.perf_counter() - t0
+        fetched = eng.ledger_df().count()
+        seen_total = eng.seen.count()
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline-suite-seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "crawl": {
+            "urls_fetched": fetched,
+            "urls_seen": seen_total,
+            "rounds": CRAWL_BENCH["rounds"],
+            "secs": round(crawl_secs, 3),
+            "urls_per_sec": round(fetched / crawl_secs, 2),
+        },
+        "cpus": DEFAULT_CPUS,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""Crawl-engine vs sequential-oracle parity (the north-rule correctness
+gate): per-round fetch ORDERING exact match, final URL-seen set exact
+match, per-row pixel/caption invariants, resume-from-checkpoint equivalence.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from webcrawl_lowres_lang_spark.functions.imaging import hamming64
+from webcrawl_lowres_lang_spark.operators.neardup import suppress_near_dups
+from webcrawl_lowres_lang_spark.sources import fixtures as fx
+from webcrawl_lowres_lang_spark.streaming.crawler import (
+    CrawlConfig,
+    CrawlEngine,
+    fetch_order,
+)
+
+from .reference_oracle import OracleCrawl
+
+CFG = CrawlConfig(
+    seed=42,
+    n_urls=1500,
+    n_pages=120,
+    n_hosts=30,
+    n_lexicon_terms=40,
+    query_count=3,
+    num_search_pages=2,
+    host_budget=4,
+    rounds=3,
+    validate_pixels=True,
+)
+
+
+@pytest.fixture(scope="module")
+def crawl(spark, tmp_path_factory):
+    eng = CrawlEngine(spark, CFG, str(tmp_path_factory.mktemp("crawl") / "ckpt"))
+    eng.run()
+    oracle_state = OracleCrawl(CFG).run()
+    return eng, oracle_state
+
+
+def test_fetch_ordering_exact_match(crawl):
+    eng, st = crawl
+    engine_order = fetch_order(eng.ledger_df())
+    oracle_order = [(f.round, f.url_canon) for f in st.fetches]
+    assert len(engine_order) > 50, "crawl too small to be meaningful"
+    assert engine_order == oracle_order
+
+
+def test_final_seen_set_exact_match(crawl):
+    eng, st = crawl
+    engine_seen = {r["url_hash"] for r in eng.seen.load().select("url_hash").collect()}
+    assert engine_seen == st.seen
+
+
+def test_caption_scores_bit_identical(crawl):
+    eng, st = crawl
+    eng_scores = {
+        (r["round"], r["url_hash"]): r["caption_score"]
+        for r in eng.ledger_df().select("round", "url_hash", "caption_score").collect()
+    }
+    for f in st.fetches:
+        assert eng_scores[(f.round, f.url_hash)] == f.caption_score, f.url_canon
+
+
+def test_per_row_pixel_invariants(crawl):
+    eng, _ = crawl
+    ok = eng.ledger_df().filter((F.col("status") == 200) & F.col("image_id").isNotNull())
+    assert ok.count() > 0
+    assert ok.filter(~F.col("phash_ok")).count() == 0, "recomputed phash mismatch"
+    bad_psnr = ok.filter(F.col("psnr_db") < 40.0).count()
+    assert bad_psnr == 0, "per-row PSNR invariant violated"
+    # lossless rows must be exact (inf PSNR)
+    assert ok.filter((F.col("fmt") == "png") & ~F.isnan("psnr_db") & (F.col("psnr_db") < 1e9)).count() == 0
+
+
+def test_politeness_budget_respected(crawl):
+    eng, _ = crawl
+    per_round_domain = (
+        eng.ledger_df().groupBy("round", "domain").count().collect()
+    )
+    robots = {r["host"]: r for r in fx.gen_robots_rows(CFG.seed, CFG.n_hosts)}
+    max_delay_budget = CFG.host_budget  # budget can only shrink with delay
+    for row in per_round_domain:
+        assert row["count"] <= max_delay_budget, (row["domain"], row["count"])
+
+
+def test_near_dup_suppression_matches_quadratic(spark, crawl):
+    eng, _ = crawl
+    ledger = eng.ledger_df().withColumn(
+        "order_key", F.col("round") * 1_000_000 + F.col("fetch_seq")
+    )
+    flagged = suppress_near_dups(ledger, "phash", "order_key")
+    eng_flags = {
+        r["order_key"]: r["dup_of"] is not None
+        for r in flagged.select("order_key", "dup_of").collect()
+    }
+    rows = sorted(
+        (
+            (r["order_key"], r["phash"])
+            for r in ledger.select("order_key", "phash").collect()
+            if r["phash"] is not None
+        ),
+    )
+    expected = {}
+    for i, (ok_i, ph_i) in enumerate(rows):
+        expected[ok_i] = any(hamming64(ph_j, ph_i) <= 4 for _, ph_j in rows[:i])
+    assert sum(expected.values()) > 0, "fixture should contain near-dups"
+    for k, v in expected.items():
+        assert eng_flags[k] == v, f"suppression flag mismatch at order {k}"
+
+
+def test_resume_equivalence(spark, tmp_path):
+    """2 rounds + resume + 1 round == 3 straight rounds (north rule:
+    resumable from snapshot checkpoints)."""
+    cfg2 = CrawlConfig(**{**CFG.__dict__, "rounds": 2, "validate_pixels": False})
+    d = str(tmp_path / "ck_resume")
+    eng = CrawlEngine(spark, cfg2, d)
+    eng.run()
+    res = CrawlEngine.resume(spark, d)
+    res.cfg.rounds = 1
+    res.run(frontier=res.resumed_frontier())
+    resumed_order = fetch_order(res.ledger_df())
+
+    cfg3 = CrawlConfig(**{**CFG.__dict__, "rounds": 3, "validate_pixels": False})
+    straight = CrawlEngine(spark, cfg3, str(tmp_path / "ck_straight"))
+    straight.run()
+    assert resumed_order == fetch_order(straight.ledger_df())

@@ -50,6 +50,22 @@ def hrandint(seed: int, low: int, high: int, *cols: Column | str) -> Column:
     return (F.pmod(hash64(seed, *cols), F.lit(span)) + F.lit(low)).cast("int")
 
 
+def quantize9(col: Column) -> Column:
+    """Quantize a double to 9dp with pure float64 ops: floor(x*1e9+0.5)/1e9.
+
+    Used instead of F.round wherever the sequential parity oracle must
+    reproduce the value bit-exactly in Python (IEEE float64 ops are
+    identical on both sides; JVM BigDecimal HALF_UP rounding is not)."""
+    return F.floor(col * F.lit(1e9) + F.lit(0.5)).cast("double") / F.lit(1e9)
+
+
+def quantize9_py(x: float) -> float:
+    """Python twin of :func:`quantize9` — same IEEE float64 operations."""
+    import math
+
+    return math.floor(x * 1e9 + 0.5) / 1e9
+
+
 def salt(seed: int, buckets: int, *cols: Column | str) -> Column:
     """Stable salt bucket in [0, buckets) for skew-defusing repartitioning
     (north rule: 'salted repartitioning for host skew')."""

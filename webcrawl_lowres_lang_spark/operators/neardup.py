@@ -1,0 +1,102 @@
+"""phash near-duplicate suppression (north rule: "phash-based near-duplicate
+suppression"; SURVEY J6 upgraded from exact file-hash identity to Hamming
+proximity).
+
+Algorithm — banded Hamming LSH, exact by pigeonhole:
+split the 64-bit phash into 8 bands of 8 bits. Two hashes within Hamming
+distance <= 4 differ in <= 4 bands, so they AGREE on >= 4 bands — any one
+shared (band_idx, band_value) bucket surfaces the pair. Candidate pairs
+from the band self-join are verified with ``bit_count(a ^ b) <= d``
+(JVM-side), then each row is suppressed in favor of its earliest
+(fetch-order) neighbor.
+
+Scale shape: the self-join shuffles on (band_idx, band_value) — 8x data
+expansion but tiny rows (2 longs), and bucket sizes stay bounded because
+identical-phash exact dups are collapsed first. No pairwise O(n²) anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_BANDS = 8
+BAND_BITS = 8
+DEFAULT_MAX_HAMMING = 4
+
+
+def _bands(col, n_bands: int = N_BANDS, band_bits: int = BAND_BITS):
+    """Array of (band_idx, band_val) structs for a 64-bit column.
+    shiftrightunsigned keeps the sign bit from smearing."""
+    mask = (1 << band_bits) - 1
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftrightunsigned(col, i * band_bits).bitwiseAND(F.lit(mask)).alias("band_val"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+
+
+def suppress_near_dups(
+    df: DataFrame,
+    phash_col: str = "phash",
+    order_col: str = "fetch_seq",
+    max_hamming: int = DEFAULT_MAX_HAMMING,
+) -> DataFrame:
+    """Add ``dup_of`` (earliest neighbor's order key; NULL for keepers).
+
+    Earliest-wins: a row is suppressed iff some row with a strictly smaller
+    ``order_col`` is within ``max_hamming``. Deterministic given a total
+    order — the crawl ledger's (round, fetch_seq) provides one.
+    """
+    keyed = df.filter(F.col(phash_col).isNotNull()).select(
+        F.col(order_col).alias("__ord"), F.col(phash_col).alias("__ph")
+    )
+    # collapse exact-equal phashes first: one representative per value
+    # (bounds band-bucket sizes; exact dups inherit the earliest exemplar)
+    exact_w = Window.partitionBy("__ph").orderBy("__ord")
+    exact = keyed.withColumn("__exact_min", F.min("__ord").over(exact_w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    reps = exact.filter(F.col("__ord") == F.col("__exact_min")).select("__ord", "__ph")
+
+    banded = reps.select(
+        "__ord", "__ph", F.explode(_bands(F.col("__ph"))).alias("b")
+    ).select("__ord", "__ph", "b.band_idx", "b.band_val")
+
+    a = banded.select(
+        F.col("band_idx"), F.col("band_val"),
+        F.col("__ord").alias("ord_a"), F.col("__ph").alias("ph_a"),
+    )
+    b = banded.select(
+        F.col("band_idx"), F.col("band_val"),
+        F.col("__ord").alias("ord_b"), F.col("__ph").alias("ph_b"),
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("ord_a") < F.col("ord_b"))
+        .select("ord_a", "ph_a", "ord_b", "ph_b")
+        .distinct()
+        .filter(F.expr(f"bit_count(ph_a ^ ph_b) <= {max_hamming}"))
+    )
+    # earliest suppressor per suppressed representative
+    earliest = pairs.groupBy("ord_b").agg(F.min("ord_a").alias("__near_dup_of"))
+
+    # map back: every row inherits its representative's verdict; exact dups
+    # (non-representatives) are suppressed by their exemplar directly
+    rep_verdict = reps.join(earliest, reps["__ord"] == earliest["ord_b"], "left").select(
+        F.col("__ph").alias("__v_ph"), F.col("__near_dup_of").alias("__rep_dup_of"),
+        F.col("__ord").alias("__rep_ord"),
+    )
+    out = (
+        df.join(rep_verdict, F.col(phash_col) == F.col("__v_ph"), "left")
+        .withColumn(
+            "dup_of",
+            F.when(F.col(phash_col).isNull(), F.lit(None).cast("long"))
+            .when(F.col(order_col) > F.col("__rep_ord"), F.col("__rep_ord"))  # exact dup
+            .otherwise(F.col("__rep_dup_of")),  # representative: near-dup verdict
+        )
+        .drop("__v_ph", "__rep_dup_of", "__rep_ord")
+    )
+    return out

@@ -1,0 +1,94 @@
+"""Per-host politeness + priority-frontier admission (north rule: "per-host
+politeness scheduler (robots cache + crawl-delay token buckets keyed by
+registrable domain via salted repartitioning), priority frontier ordered by
+host budget + depth + language relevance").
+
+Reference semantics being generalized: the reference throttles with
+wall-clock sleeps per worker thread (``lrl-crawler.py:332-335``) and an
+optional robots check per URL (``lrl-crawler.py:173-182``). Executors must
+never sleep, so the engine uses DISCRETE virtual time: one crawl round = one
+token-refill tick. A domain with ``crawl_delay`` d gets
+``max(1, floor(budget/(1+d)))`` fetch tokens per round; unspent frontier
+rows stay queued. This is deterministic (no wall clock ⇒ reproducible
+ordering, the north rule's hard requirement) and maps 1:1 onto real-time
+token buckets on a live cluster (tick := delay quantum).
+
+Scale shape: admission is a per-domain top-k — a window over
+``partitionBy(domain)``. Domain skew is the norm (one host can dominate a
+crawl), so rows are first salted-repartitioned to spread a hot domain's
+rows across executors for the expensive pre-steps; the final window
+itself needs domain-locality, and AQE skew handling splits oversized
+partitions. Budgets cap per-domain output at ``budget`` rows, so the
+window's output is bounded regardless of skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..determinism import quantize9
+
+DEFAULT_HOST_BUDGET = 5
+DEPTH_WEIGHT = 0.1  # priority = relevance - DEPTH_WEIGHT * depth
+
+
+def effective_budget(base_budget: int, crawl_delay: float) -> int:
+    """Tokens per round for a domain declaring ``crawl_delay`` (virtual-time
+    token bucket: refill = budget scaled down by the declared delay)."""
+    return max(1, int(base_budget / (1.0 + crawl_delay)))
+
+
+def with_priority(df: DataFrame) -> DataFrame:
+    """Priority = language relevance − depth penalty, quantized to 9 dp so
+    float noise can never reorder the frontier across partitionings."""
+    return df.withColumn(
+        "priority",
+        quantize9(F.col("relevance") - F.lit(DEPTH_WEIGHT) * F.col("depth").cast("double")),
+    )
+
+
+def robots_filter(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """Drop rows whose path is robots-disallowed on a host that enforces
+    robots (F4/S21). The robots cache is a small dimension — broadcast."""
+    r = robots.select(
+        F.col("host").alias("__r_host"),
+        F.col("respect_disallow").alias("__r_respect"),
+    )
+    return (
+        frontier.join(F.broadcast(r), frontier.host == F.col("__r_host"), "left")
+        .filter(~(F.col("robots_disallow") & F.coalesce(F.col("__r_respect"), F.lit(False))))
+        .drop("__r_host", "__r_respect")
+    )
+
+
+def admit_per_domain(
+    frontier: DataFrame,
+    robots: DataFrame,
+    base_budget: int = DEFAULT_HOST_BUDGET,
+    salt_buckets: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Split the frontier into (admitted, deferred) for this round.
+
+    Admission order inside a domain: priority DESC, then url_hash ASC —
+    a total, partition-invariant order (the reference's analog is FIFO id
+    order striped round-robin, lrl-crawler.py:582; the north rule upgrades
+    it to the priority form).
+    """
+    d = robots.select(
+        F.col("host").alias("__d_host"),
+        F.col("crawl_delay").alias("__d_delay"),
+    )
+    f = frontier.join(F.broadcast(d), frontier.host == F.col("__d_host"), "left")
+    f = f.withColumn(
+        "__budget",
+        F.greatest(
+            F.lit(1),
+            F.floor(F.lit(base_budget) / (F.lit(1.0) + F.coalesce(F.col("__d_delay"), F.lit(0.0)))),
+        ).cast("int"),
+    ).drop("__d_host", "__d_delay")
+    w = Window.partitionBy("domain").orderBy(F.desc("priority"), F.asc("url_hash"))
+    f = f.withColumn("__rank", F.row_number().over(w))
+    admitted = f.filter(F.col("__rank") <= F.col("__budget")).drop("__rank", "__budget")
+    deferred = f.filter(F.col("__rank") > F.col("__budget")).drop("__rank", "__budget")
+    return admitted, deferred

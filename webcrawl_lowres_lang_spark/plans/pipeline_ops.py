@@ -1,0 +1,696 @@
+"""Training-data pipeline operators over the driver tables: deduplication
+(exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine),
+similarity search (brute-force + bucketed ANN), and text analysis
+(token stats, quality scoring, n-gram language-ID, fingerprinting).
+
+These extend the reference's dedup machinery (URL-hash seen set J5,
+content-hash clone J6) to the content-level dedup a 100 TB training-data
+pipeline needs. Every operator is a declarative DataFrame plan with a
+DuckDB oracle twin; where duplicates don't exist naturally in the
+synthetic tables, the query UNIONS the table with deterministically
+mutated copies (doc_id + 1_000_000) so the operator's positive path is
+actually exercised.
+
+Cross-engine determinism rules used throughout:
+- shared hash = md5 hex (present in both engines); 60-bit numeric token
+  hashes are ``conv(substr(md5,1,15),16,10)`` in Spark and the equivalent
+  hex fold in DuckDB;
+- float aggregates rounded on both sides; ranking ties always broken by
+  an id column;
+- integer dot products wherever a score feeds an argmax (exact math).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+# ---------------------------------------------------------------------------
+# shared builders
+# ---------------------------------------------------------------------------
+
+_TOKENS = "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x != '')"
+
+
+def _tokens_col():
+    """Normalized word tokens (engine side)."""
+    return F.filter(
+        F.split(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " "),
+        lambda x: x != "",
+    )
+
+
+def _docs_with_exact_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    return d.unionByName(copies)
+
+
+_DOCS_EXACT_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+"""
+
+
+def _docs_with_mutated_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Original docs + near-duplicate copies (every 7th token dropped)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = _tokens_col()
+    mutated = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(F.filter(toks, lambda x, i: (i % 7) != 6), " ").alias("text"),
+    )
+    return d.unionByName(mutated)
+
+
+_DOCS_MUTATED_SQL = f"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(
+               [t[i] for i in range(1, len(t) + 1) if (i % 7) != 0], ' ') AS text
+      FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH corpus AS ({_DOCS_EXACT_SQL})
+    SELECT md5(text) AS text_hash, COUNT(*) AS dup_cnt,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+    FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1
+    """,
+    survey_ref="J6,A3",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact content dedup: hash-groupBy, keep the earliest exemplar
+    # (reference: file_hash clone semantics, sql.py:167-172).
+    corpus = _docs_with_exact_copies(spark, sf_dir)
+    return (
+        corpus.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.count("*").alias("dup_cnt"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("dup_cnt") > 1)
+    )
+
+
+_N_MINHASH = 12
+_BAND_SIZE = 3  # 4 bands of 3 -> pairs sharing any band become candidates
+
+
+def _minhash_sig_spark(tokens_col):
+    """MinHash over word-3-gram shingles; hash h_j(s) = md5(s || ':' || j),
+    signature element = lexicographic min (portable across engines)."""
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(tokens_col) - 3, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(tokens_col, i + 1, 3)),
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(_N_MINHASH - 1)),
+        lambda j: F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(s, F.lit(":"), j.cast("string"))))
+        ),
+    )
+
+
+_MINHASH_SIG_SQL = f"""
+      list_transform(range(0, {_N_MINHASH}), j -> list_aggregate(
+        list_transform(
+          list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+                         i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')),
+          s -> md5(s || ':' || j::VARCHAR)), 'min'))
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH corpus AS ({_DOCS_MUTATED_SQL}),
+    sigs AS (
+      SELECT doc_id, {_MINHASH_SIG_SQL.replace('t)', 't)').strip()} AS sig
+      FROM (SELECT doc_id, {_TOKENS} AS t FROM corpus)
+    ),
+    bands AS (
+      SELECT doc_id, b AS band_idx,
+             array_to_string(list_slice(sig, b * {_BAND_SIZE} + 1, (b + 1) * {_BAND_SIZE}), '|') AS band_val
+      FROM sigs, UNNEST(range(0, {_N_MINHASH // _BAND_SIZE})) AS u(b)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    """,
+    survey_ref="J5,J6",
+    tags=("dedup",),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MinHash+LSH near-dup candidates: shingle -> minhash -> band -> bucket
+    # self-join. Scale shape: |docs| x n_bands rows shuffled on band value;
+    # no pairwise work outside shared buckets.
+    corpus = _docs_with_mutated_copies(spark, sf_dir)
+    sigs = corpus.select("doc_id", _minhash_sig_spark(_tokens_col()).alias("sig"))
+    n_bands = _N_MINHASH // _BAND_SIZE
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.array_join(
+                        F.slice(F.col("sig"), b * _BAND_SIZE + 1, _BAND_SIZE), "|"
+                    ).alias("band_val"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_idx", "b.band_val")
+    a = bands.select("band_idx", "band_val", F.col("doc_id").alias("doc_a"))
+    b = bands.select("band_idx", "band_val", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+_HEXFOLD_SQL = (
+    "list_reduce([strpos('0123456789abcdef', substr(substr(md5({expr}), 1, 15), i, 1)) - 1 "
+    "for i in range(1, 16)], (a, b) -> a * 16 + b)"
+)
+
+
+def _tokhash60_spark(tok):
+    """60-bit numeric token hash shared with DuckDB (conv of 15 md5 hex chars)."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH corpus AS ({_DOCS_MUTATED_SQL}),
+    tok AS (
+      SELECT doc_id, unnest({_TOKENS}) AS tok FROM corpus
+    ),
+    th AS (
+      SELECT doc_id, {_HEXFOLD_SQL.format(expr='tok')} AS h FROM tok
+    ),
+    bits AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS w
+      FROM th, UNNEST(range(0, 60)) AS u(b)
+      GROUP BY doc_id, b
+    ),
+    sim AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id + 1000000 = b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
+    """,
+    survey_ref="J6,C1",
+    tags=("dedup",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SimHash: per-token 60-bit hash votes ±1 per bit; near-dups land within
+    # a small Hamming distance. Verified here on the known original↔mutated
+    # pairs (the general banded pairing is exercised in operators/neardup.py).
+    corpus = _docs_with_mutated_copies(spark, sf_dir)
+    th = corpus.select(
+        "doc_id", F.explode(_tokens_col()).alias("tok")
+    ).select("doc_id", _tokhash60_spark(F.col("tok")).alias("h"))
+    bits = (
+        th.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(F.expr("(shiftright(h, b) & 1) = 1"), 1).otherwise(-1)
+            ).alias("w")
+        )
+    )
+    sim = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("w") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0)
+        ).cast("long").alias("simhash")
+    )
+    a = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, a.doc_a + 1_000_000 == b.doc_b)
+        .withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)").cast("long"))
+        .filter(F.col("hamming") <= 16)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM ({_DOCS_MUTATED_SQL})
+      WHERE (doc_id % 1000000) IN (SELECT doc_id FROM documents WHERE lang = 'fr')
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest(
+        list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+                       i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS s
+      FROM (SELECT doc_id, {_TOKENS} AS t FROM corpus)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.3
+    """,
+    survey_ref="J6,A10",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact n-gram Jaccard via shingle-set inverted index (explode + equi-join
+    # + group) — never a cross join; the index join only pairs docs sharing a
+    # shingle, which is also the 100 TB-scale formulation.
+    fr_ids = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "fr")
+        .select(F.col("doc_id").alias("fr_id"))
+    )
+    corpus = _docs_with_mutated_copies(spark, sf_dir)
+    corpus = corpus.join(
+        F.broadcast(fr_ids), (F.col("doc_id") % 1_000_000) == F.col("fr_id"), "left_semi"
+    )
+    toks = _tokens_col()
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+    )
+    sh = corpus.select("doc_id", F.explode(F.array_distinct(shingles)).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jac", F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i")))
+        .filter(F.col("jac") >= 0.3)
+        .select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    corpus AS (
+      SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> x + 0.05) AS v FROM base
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+    FROM corpus a JOIN corpus b
+      ON a.vec_id + 1000000 = b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.8
+    """,
+    survey_ref="A12",
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Embedding near-dup on known candidate pairs (original ↔ shifted copy).
+    # The blocked/bucketed general pairing is ann_bucketed_topk below; this
+    # verifies the cosine kernel itself (zip_with dot product, JVM-side).
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    corpus = base.unionByName(
+        base.select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform(F.col("v"), lambda x: x + 0.05).alias("v"),
+        )
+    )
+    a = corpus.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = corpus.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return (
+        a.join(b, F.col("vec_a") + 1_000_000 == F.col("vec_b"))
+        .withColumn("cos_raw", dot / (na * nb))
+        .filter(F.col("cos_raw") >= 0.8)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv, e.v) AS c
+      FROM q JOIN e ON e.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(c, 6) AS cos
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY c DESC, neighbor_id ASC) AS rn
+          FROM scored) t
+    WHERE rn <= 10
+    """,
+    survey_ref="A12,W1",
+    tags=("similarity",),
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Brute-force cosine top-k: broadcast the (tiny) query set against the
+    # corpus — the exact baseline every ANN variant is measured against.
+    # At scale: corpus stays partitioned, queries broadcast, per-partition
+    # top-k then global top-k (TakeOrdered) — no corpus shuffle.
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    j = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    dot = F.aggregate(F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    nq = F.sqrt(F.aggregate(F.transform("qv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    nv = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    scored = j.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), (dot / (nq * nv)).alias("c")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "neighbor_id", F.round("c", 6).alias("cos"))
+    )
+
+
+@register(
+    "ann_bucketed_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv, e.v) AS c
+      FROM q JOIN e ON e.label = q.qlabel AND e.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(c, 6) AS cos
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY c DESC, neighbor_id ASC) AS rn
+          FROM scored) t
+    WHERE rn <= 5
+    """,
+    survey_ref="A12,W1",
+    tags=("similarity",),
+)
+def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF-style scale path: probe only the query's coarse bucket (here the
+    # precomputed ``label`` plays the centroid-assignment role). At 100 TB
+    # the corpus is hash/bucket-partitioned by cell id, so each query scans
+    # one cell instead of the corpus — same plan shape as this query.
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("label").alias("qlabel")
+    )
+    j = e.join(
+        F.broadcast(q), (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("query_id"))
+    )
+    dot = F.aggregate(F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    nq = F.sqrt(F.aggregate(F.transform("qv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    nv = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    scored = j.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), (dot / (nq * nv)).alias("c")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", F.round("c", 6).alias("cos"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+           ROUND(len(array_to_string(t, '')) * 1.0 / len(t), 4) AS avg_token_len
+    FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)
+    WHERE len(t) > 0
+    """,
+    survey_ref="A10,C10,F6",
+    tags=("text",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", _tokens_col().alias("t"))
+    d = d.filter(F.size("t") > 0)
+    return d.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_distinct"),
+        F.round(
+            F.length(F.array_join("t", "")) * 1.0 / F.size("t"), 4
+        ).alias("avg_token_len"),
+    )
+
+
+_STOPWORDS = "('the', 'a', 'and', 'of', 'to', 'in')"
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           ROUND(len(list_filter(t, x -> x IN {_STOPWORDS})) * 1.0 / len(t), 4) AS stopword_ratio,
+           ROUND(len(list_distinct(t)) * 1.0 / len(t), 4) AS ttr,
+           (len(t) >= 20 AND len(list_distinct(t)) * 1.0 / len(t) >= 0.2) AS quality_ok
+    FROM (SELECT doc_id, n_chars, {_TOKENS} AS t FROM documents)
+    WHERE len(t) > 0
+    """,
+    survey_ref="A13,F7,F8",
+    tags=("text",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quality heuristics a pretraining pipeline gates on: length, stopword
+    # ratio (fluency proxy), type-token ratio (repetition proxy).
+    stop = F.array(*[F.lit(s) for s in ["the", "a", "and", "of", "to", "in"]])
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars", _tokens_col().alias("t"))
+    d = d.filter(F.size("t") > 0)
+    ttr = F.size(F.array_distinct("t")) * 1.0 / F.size("t")
+    return d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size("t").cast("long").alias("n_tokens"),
+        F.round(
+            F.size(F.filter(F.col("t"), lambda x: F.array_contains(stop, x))) * 1.0 / F.size("t"),
+            4,
+        ).alias("stopword_ratio"),
+        F.round(ttr, 4).alias("ttr"),
+        ((F.size("t") >= 20) & (ttr >= 0.2)).alias("quality_ok"),
+    )
+
+
+@register(
+    "text_langid_ngram",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({_TOKENS}) AS tok FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang, unnest(
+        list_transform(range(1, greatest(len(tok) - 2, 0) + 1),
+                       i -> substr(tok, i, 3))) AS g
+      FROM toks WHERE len(tok) >= 3
+    ),
+    profile AS (
+      SELECT lang AS plang, g, COUNT(*) AS pc FROM grams GROUP BY lang, g
+    ),
+    docg AS (SELECT doc_id, g, COUNT(*) AS dc FROM grams GROUP BY doc_id, g),
+    dots AS (
+      SELECT d.doc_id, p.plang, CAST(SUM(d.dc * p.pc) AS BIGINT) AS dot
+      FROM docg d JOIN profile p ON d.g = p.g
+      GROUP BY d.doc_id, p.plang
+    ),
+    pn AS (SELECT plang, CAST(SUM(pc * pc) AS BIGINT) AS pnorm2 FROM profile GROUP BY plang)
+    SELECT doc_id, plang AS predicted_lang
+    FROM (SELECT d.doc_id, d.plang,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY d.doc_id
+                   ORDER BY (d.dot * d.dot * 1.0 / pn.pnorm2) DESC, d.plang ASC) AS rn
+          FROM dots d JOIN pn ON pn.plang = d.plang) t
+    WHERE rn = 1
+    """,
+    survey_ref="U1,F11,A12",
+    tags=("text",),
+)
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Character-trigram language ID: per-lang trigram profiles (trained on
+    # the corpus itself), docs scored by normalized dot product, argmax.
+    # Integer dot products -> exact math -> deterministic argmax (tie-break
+    # on lang). This is the engine's lingua stand-in (reference U1) built
+    # from first principles.
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(_tokens_col()).alias("tok")
+    ).filter(F.length("tok") >= 3)
+    grams = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(F.expr("transform(sequence(1, greatest(length(tok) - 2, 0)), i -> substr(tok, i, 3))")).alias("g"),
+    )
+    profile = grams.groupBy(F.col("lang").alias("plang"), "g").agg(F.count("*").alias("pc"))
+    docg = grams.groupBy("doc_id", "g").agg(F.count("*").alias("dc"))
+    dots = (
+        docg.join(profile, "g")
+        .groupBy("doc_id", "plang")
+        .agg(F.sum(F.col("dc") * F.col("pc")).cast("long").alias("dot"))
+    )
+    pn = profile.groupBy("plang").agg(F.sum(F.col("pc") * F.col("pc")).cast("long").alias("pnorm2"))
+    scored = dots.join(pn, "plang").withColumn(
+        "score", F.col("dot") * F.col("dot") * 1.0 / F.col("pnorm2")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("plang"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("plang").alias("predicted_lang"))
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(list_sort({_TOKENS}), ' ') AS text
+      FROM documents
+    )
+    SELECT fp, COUNT(*) AS cnt, CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+    FROM (SELECT doc_id,
+                 md5(array_to_string(list_sort(list_distinct({_TOKENS})), ' ')) AS fp
+          FROM corpus)
+    GROUP BY fp HAVING COUNT(*) > 1
+    """,
+    survey_ref="C1,E2",
+    tags=("text", "dedup"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Order-insensitive document fingerprint (sorted distinct token set ->
+    # md5): catches shuffled/reordered copies that exact hashing misses.
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    shuffled = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(F.array_sort(_tokens_col()), " ").alias("text"),
+    )
+    corpus = d.unionByName(shuffled)
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(_tokens_col())), " "))
+    return (
+        corpus.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("cnt"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-stream analytics (batch formulation; streaming twin in streaming/)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS cnt, ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    survey_ref="T1,A1",
+    tags=("events",),
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("total_value"))
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM gaps
+    )
+    SELECT user_id, CAST(COUNT(DISTINCT sess_id) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id
+    """,
+    survey_ref="T1,W2",
+    tags=("events",),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gap-based sessionization (30-min inactivity): lag -> flag -> running
+    # sum, the standard batch formulation (streaming twin: session windows
+    # with watermark in streaming/stream_ops.py).
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = e.withColumn("__prev_ts", F.lag(F.col("ts")).over(w)).withColumn(
+        "new_sess",
+        F.when(F.expr("ts - __prev_ts > INTERVAL '30' MINUTE"), 1).otherwise(0),
+    )
+    sess = gapped.withColumn(
+        "sess_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("sess_id").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )

@@ -28,6 +28,12 @@ def get_spark(
     ``spark-submit --py-files``; everything else carries over unchanged.
     """
     master = master or f"local[{DEFAULT_CPUS}]"
+    # local-mode equivalent of `spark-submit --py-files`: python workers
+    # inherit PYTHONPATH, so make the package importable regardless of cwd
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{repo_root}{os.pathsep}{pp}" if pp else repo_root
     # local[N] -> N parallel tasks; shuffle partitions = cores keeps every
     # stage fully parallel without tiny-partition overhead at test scale.
     if shuffle_partitions is None:

@@ -1,0 +1,256 @@
+"""The crawl engine: frontier -> politeness -> fetch -> score -> discover,
+as an iterative-batch loop (reference stages ``lrl-crawler.py:571-660``
+re-expressed; the reference's threads+SQLite become DataFrame rounds with
+snapshot checkpoints).
+
+One round =
+  1. prioritize pending frontier (relevance − depth penalty)
+  2. robots filter (broadcast cache) + per-domain budget admission
+     (virtual-time token buckets — no executor sleeps)
+  3. fetch+validate admitted rows against the synthetic web
+     (joins + Arrow-batch decode; status/PSNR/phash checks)
+  4. caption relevance scoring (broadcast lexicon, pandas UDF)
+  5. assign the round's canonical fetch order
+     (priority DESC, url_hash ASC — total and partition-invariant)
+  6. discover outlinks -> canonicalize -> exclusion filter -> batch dedup
+     -> seen-set anti-join -> append to frontier; add to seen set
+  7. checkpoint: ledger/frontier parquet snapshots + metrics JSON with
+     per-partition lineage (north rule resumability)
+
+State tables mirror FIXTURES.md §5: frontier / url_seen / ledger.
+Everything is a pure function of (seed, fixture sizes, budget), so two
+runs — or two cluster sizes — produce identical ledgers (parity-tested
+against the sequential oracle in tests/reference_oracle.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+from dataclasses import asdict, dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..determinism import quantize9
+from ..functions.urls import with_url_keys
+from ..operators.bloom import BloomConfig
+from ..operators.fetch import fetch_and_validate
+from ..operators.politeness import admit_per_domain, robots_filter, with_priority
+from ..operators.scoring import LexiconVector, relevance_udf
+from ..operators.seen import SeenSet
+from ..sources import fixtures as fx
+from ..sources.querygen import english_filter, gen_queries
+
+FRONTIER_SCHEMA = (
+    "url_id long, url string, url_canon string, url_hash long, host string, "
+    "domain string, depth int, relevance double"
+)
+DISCOVERY_SCHEMA = "url_id long, depth int, relevance double"
+
+
+@dataclass
+class CrawlConfig:
+    seed: int = 42
+    n_urls: int = 2000
+    n_pages: int = 200
+    n_hosts: int = 40
+    n_lexicon_terms: int = 48
+    query_count: int = 4
+    word_count: int = 3
+    num_search_pages: int = 2
+    host_budget: int = 5
+    rounds: int = 3
+    validate_pixels: bool = True
+    bloom_capacity: int = 1_000_000
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, config: CrawlConfig, checkpoint_dir: str):
+        self.spark = spark
+        self.cfg = config
+        self.dir = checkpoint_dir
+        os.makedirs(checkpoint_dir, exist_ok=True)
+
+        c = config
+        lex_rows = fx.gen_lexicon_rows(c.seed, c.n_lexicon_terms)
+        english = {t for (t,) in fx.gen_english_lexicon_rows()}
+        self.lex_rows = english_filter(lex_rows, english)
+        self.lex = LexiconVector(dict(self.lex_rows))
+        self.queries = gen_queries(c.seed, self.lex_rows, c.query_count, c.word_count)
+        self.score_udf = relevance_udf(spark, self.lex)
+
+        # fixture tables: built once, cached — the closed "web"
+        self.links = fx.gen_link_graph(spark, c.seed, c.n_urls, c.n_hosts, c.n_pages).cache()
+        self.pages = fx.gen_pages(spark, c.seed, c.n_pages, [t for t, _ in self.lex_rows]).cache()
+        self.robots = fx.gen_robots(spark, c.seed, c.n_hosts).cache()
+
+        self.seen = SeenSet(
+            spark,
+            os.path.join(checkpoint_dir, "url_seen"),
+            n_buckets=16,
+            bloom_config=BloomConfig(capacity=c.bloom_capacity, fpp=0.01, num_shards=16),
+        )
+        self.round = 0
+        self.metrics: list[dict] = []
+
+    # -- discovery plumbing ---------------------------------------------------
+
+    def _resolve_discoveries(self, disc: DataFrame) -> DataFrame:
+        """(url_id, depth, relevance) -> full frontier rows: join the link
+        graph for the raw URL, canonicalize, guard, exclusion-filter,
+        batch-dedup. Dedup keeps (min depth, max relevance, min url_id) per
+        url_hash — a total order, so partition-invariant."""
+        links = self.links.select("url_id", "url", "robots_disallow")
+        d = disc.join(links, "url_id")
+        d = with_url_keys(d)  # url_canon, host, domain, url_hash, md5_hash
+        d = d.filter(F.col("url_canon").isNotNull())  # relative-URL guard (F3)
+        excl = F.array(*[F.lit(s) for s in fx.EXCLUDED_SUBSTRINGS])
+        d = d.filter(~F.exists(excl, lambda s: F.col("url").contains(s)))  # F2 substring
+        w = Window.partitionBy("url_hash").orderBy(
+            F.asc("depth"), F.desc("relevance"), F.asc("url_id")
+        )
+        d = d.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+        return d.select(
+            "url_id", "url", "url_canon", "url_hash", "host", "domain",
+            "depth", "relevance", "robots_disallow",
+        )
+
+    def seed_frontier(self) -> DataFrame:
+        """Round-0 seeds: every (query, page) search slot's result URLs
+        (reference: search_and_fetch, lrl-crawler.py:257-319)."""
+        c = self.cfg
+        rows = []
+        for qid in range(len(self.queries)):
+            for page in range(c.num_search_pages):
+                for uid in fx.search_result_ids(c.seed, qid, page, c.n_urls):
+                    rows.append((uid, 0, 0.0))
+        disc = self.spark.createDataFrame(rows, DISCOVERY_SCHEMA)
+        resolved = self._resolve_discoveries(disc)
+        fresh = self.seen.filter_unseen(resolved)
+        self.seen.add(fresh.select("url_hash"))
+        return fresh
+
+    def _discover_outlinks(self, fetched: DataFrame) -> DataFrame:
+        """Successful fetches yield outlink discoveries carrying the
+        parent's caption relevance and depth+1 (priority frontier inputs)."""
+        seed, n_urls = self.cfg.seed, self.cfg.n_urls
+        src = fetched.filter(
+            (F.col("status") == 200) & F.col("image_id").isNotNull()
+        ).select("url_id", "depth", "caption_score")
+
+        def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                out = []
+                for r in b.itertuples(index=False):
+                    for dst in fx.outlink_ids(seed, int(r.url_id), n_urls):
+                        out.append(
+                            {
+                                "url_id": dst,
+                                "depth": int(r.depth) + 1,
+                                "relevance": float(r.caption_score),
+                            }
+                        )
+                yield pd.DataFrame(out, columns=["url_id", "depth", "relevance"])
+
+        return src.mapInPandas(expand, DISCOVERY_SCHEMA)
+
+    # -- one round -------------------------------------------------------------
+
+    def run_round(self, frontier: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """-> (ledger_with_order, next_frontier)"""
+        c = self.cfg
+        p = with_priority(frontier)
+        p = robots_filter(p, self.robots)
+        admitted, deferred = admit_per_domain(p, self.robots, c.host_budget)
+
+        ledger = fetch_and_validate(admitted, self.links, self.pages, c.seed, c.validate_pixels)
+        ledger = ledger.withColumn(
+            "caption_score",
+            F.when(F.col("caption").isNotNull(), quantize9(self.score_udf(F.col("caption"))))
+            .otherwise(F.lit(0.0)),
+        )
+        order_w = Window.orderBy(F.desc("priority"), F.asc("url_hash"))
+        ledger = ledger.withColumn("fetch_seq", F.row_number().over(order_w))
+        ledger = ledger.withColumn("round", F.lit(self.round)).cache()
+
+        disc = self._discover_outlinks(ledger)
+        resolved = self._resolve_discoveries(disc)
+        fresh = self.seen.filter_unseen(resolved)
+        self.seen.add(fresh.select("url_hash"))
+
+        next_frontier = deferred.select(*fresh.columns).unionByName(fresh)
+        return ledger, next_frontier
+
+    # -- full run with checkpoints ------------------------------------------------
+
+    def run(self, frontier: DataFrame | None = None) -> None:
+        c = self.cfg
+        if frontier is None:
+            self.seen.enable_empty_bloom()
+            frontier = self.seed_frontier()
+        for _ in range(c.rounds):
+            ledger, frontier = self.run_round(frontier)
+            self._checkpoint(ledger, frontier)
+            self.round += 1
+
+    def _checkpoint(self, ledger: DataFrame, frontier: DataFrame) -> None:
+        r = self.round
+        # plain subdirs (not round= partition dirs): the round column is
+        # already stored in the files; a partition dir would duplicate it
+        ledger.write.mode("overwrite").parquet(os.path.join(self.dir, f"ledger/r{r}"))
+        frontier.write.mode("overwrite").parquet(os.path.join(self.dir, f"frontier/r{r}"))
+        # per-partition lineage + frontier/fetch metrics (north rule)
+        part_rows = (
+            frontier.withColumn("__pid", F.spark_partition_id())
+            .groupBy("__pid").count().collect()
+        )
+        m = {
+            "round": r,
+            "fetched": ledger.count(),
+            "fetched_ok": ledger.filter(F.col("status") == 200).count(),
+            "frontier_pending": frontier.count(),
+            "seen_total": self.seen.count(),
+            "partitions": sorted([(int(x["__pid"]), int(x["count"])) for x in part_rows]),
+            "config": asdict(self.cfg),
+        }
+        self.metrics.append(m)
+        with open(os.path.join(self.dir, f"metrics_round{r}.json"), "w") as f:
+            json.dump(m, f, indent=1)
+
+    # -- resume ---------------------------------------------------------------------
+
+    @classmethod
+    def resume(cls, spark: SparkSession, checkpoint_dir: str) -> "CrawlEngine":
+        """Rebuild engine state from the latest checkpoint: config + round
+        from metrics, seen-set Bloom from its exact backing table, frontier
+        from the last snapshot. Continue with ``run(frontier=resumed)``."""
+        rounds = sorted(
+            int(n.split("metrics_round")[1].split(".")[0])
+            for n in os.listdir(checkpoint_dir)
+            if n.startswith("metrics_round")
+        )
+        if not rounds:
+            raise ValueError(f"no checkpoints in {checkpoint_dir}")
+        last = rounds[-1]
+        with open(os.path.join(checkpoint_dir, f"metrics_round{last}.json")) as f:
+            meta = json.load(f)
+        eng = cls(spark, CrawlConfig(**meta["config"]), checkpoint_dir)
+        eng.round = last + 1
+        eng.seen.build_bloom()
+        return eng
+
+    def resumed_frontier(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.dir, f"frontier/r{self.round - 1}"))
+
+    def ledger_df(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.dir, "ledger/r*"))
+
+
+def fetch_order(ledger: DataFrame) -> list[tuple[int, str]]:
+    """Canonical crawl ordering for parity checks: [(round, url_canon)]
+    sorted by (round, fetch_seq)."""
+    rows = ledger.select("round", "fetch_seq", "url_canon").collect()
+    return [(r["round"], r["url_canon"]) for r in sorted(rows, key=lambda x: (x["round"], x["fetch_seq"]))]

@@ -21,14 +21,14 @@ from .reference_oracle import OracleCrawl
 
 CFG = CrawlConfig(
     seed=42,
-    n_urls=1500,
-    n_pages=120,
-    n_hosts=30,
+    n_urls=800,
+    n_pages=60,
+    n_hosts=24,
     n_lexicon_terms=40,
     query_count=3,
     num_search_pages=2,
     host_budget=4,
-    rounds=3,
+    rounds=2,
     validate_pixels=True,
 )
 
@@ -115,7 +115,7 @@ def test_near_dup_suppression_matches_quadratic(spark, crawl):
 def test_resume_equivalence(spark, tmp_path):
     """2 rounds + resume + 1 round == 3 straight rounds (north rule:
     resumable from snapshot checkpoints)."""
-    cfg2 = CrawlConfig(**{**CFG.__dict__, "rounds": 2, "validate_pixels": False})
+    cfg2 = CrawlConfig(**{**CFG.__dict__, "rounds": 1, "validate_pixels": False})
     d = str(tmp_path / "ck_resume")
     eng = CrawlEngine(spark, cfg2, d)
     eng.run()
@@ -124,7 +124,7 @@ def test_resume_equivalence(spark, tmp_path):
     res.run(frontier=res.resumed_frontier())
     resumed_order = fetch_order(res.ledger_df())
 
-    cfg3 = CrawlConfig(**{**CFG.__dict__, "rounds": 3, "validate_pixels": False})
+    cfg3 = CrawlConfig(**{**CFG.__dict__, "rounds": 2, "validate_pixels": False})
     straight = CrawlEngine(spark, cfg3, str(tmp_path / "ck_straight"))
     straight.run()
     assert resumed_order == fetch_order(straight.ledger_df())

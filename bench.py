@@ -39,8 +39,8 @@ HEADLINE = [
 ]
 
 CRAWL_BENCH = dict(
-    n_urls=20_000, n_pages=300, n_hosts=200, query_count=6, num_search_pages=2,
-    host_budget=8, rounds=3, validate_pixels=False,
+    n_urls=30_000, n_pages=300, n_hosts=1500, query_count=24, num_search_pages=4,
+    host_budget=16, rounds=2, validate_pixels=False,
 )
 
 

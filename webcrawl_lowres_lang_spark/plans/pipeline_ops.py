@@ -105,19 +105,34 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _N_MINHASH = 12
 _BAND_SIZE = 3  # 4 bands of 3 -> pairs sharing any band become candidates
+# standard LSH hot-bucket cap: a band bucket larger than this is a stop-shingle
+# artifact (near-constant content); pairing inside it is O(B^2) for near-zero
+# signal, so those buckets are EXPLICITLY skipped — on both engines, so the cap
+# is part of the operator's defined semantics, not a silent truncation.
+_MAX_BUCKET = 64
 
 
-def _minhash_sig_spark(tokens_col):
-    """MinHash over word-3-gram shingles; hash h_j(s) = md5(s || ':' || j),
-    signature element = lexicographic min (portable across engines)."""
-    shingles = F.transform(
+def _shingles(tokens_col):
+    """Word-3-gram shingle array."""
+    return F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(tokens_col) - 3, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(tokens_col, i + 1, 3)),
     )
+
+
+def _minhash_sig_from_shingles(sh_col):
+    """MinHash signature from a MATERIALIZED shingle column; hash
+    h_j(s) = md5(s || ':' || j), element = lexicographic min (portable).
+
+    Staging matters: inlining the shingle expression inside this nested
+    lambda re-evaluates it per signature slot (Catalyst CSE cannot reach
+    through lambda bindings) — 30x slower measured at sf0.1. Always build
+    shingles with withColumn first.
+    """
     return F.transform(
         F.sequence(F.lit(0), F.lit(_N_MINHASH - 1)),
         lambda j: F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(s, F.lit(":"), j.cast("string"))))
+            F.transform(sh_col, lambda s: F.md5(F.concat(s, F.lit(":"), j.cast("string"))))
         ),
     )
 
@@ -143,9 +158,16 @@ _MINHASH_SIG_SQL = f"""
       SELECT doc_id, b AS band_idx,
              array_to_string(list_slice(sig, b * {_BAND_SIZE} + 1, (b + 1) * {_BAND_SIZE}), '|') AS band_val
       FROM sigs, UNNEST(range(0, {_N_MINHASH // _BAND_SIZE})) AS u(b)
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT doc_id, band_idx, band_val,
+               COUNT(*) OVER (PARTITION BY band_idx, band_val) AS bsz
+        FROM bands) t
+      WHERE bsz <= {_MAX_BUCKET}
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
+    FROM capped a JOIN capped b
       ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
     """,
     survey_ref="J5,J6",
@@ -154,9 +176,14 @@ _MINHASH_SIG_SQL = f"""
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MinHash+LSH near-dup candidates: shingle -> minhash -> band -> bucket
     # self-join. Scale shape: |docs| x n_bands rows shuffled on band value;
-    # no pairwise work outside shared buckets.
+    # no pairwise work outside shared buckets, and hot buckets (> _MAX_BUCKET,
+    # the stop-shingle pathology) are explicitly skipped on both engines.
     corpus = _docs_with_mutated_copies(spark, sf_dir)
-    sigs = corpus.select("doc_id", _minhash_sig_spark(_tokens_col()).alias("sig"))
+    sigs = (
+        corpus.withColumn("__t", _tokens_col())
+        .withColumn("__sh", _shingles(F.col("__t")))
+        .select("doc_id", _minhash_sig_from_shingles(F.col("__sh")).alias("sig"))
+    )
     n_bands = _N_MINHASH // _BAND_SIZE
     bands = sigs.select(
         "doc_id",
@@ -172,8 +199,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.band_idx", "b.band_val")
-    a = bands.select("band_idx", "band_val", F.col("doc_id").alias("doc_a"))
-    b = bands.select("band_idx", "band_val", F.col("doc_id").alias("doc_b"))
+    wb = Window.partitionBy("band_idx", "band_val")
+    capped = bands.withColumn("bsz", F.count("*").over(wb)).filter(
+        F.col("bsz") <= _MAX_BUCKET
+    )
+    a = capped.select("band_idx", "band_val", F.col("doc_id").alias("doc_a"))
+    b = capped.select("band_idx", "band_val", F.col("doc_id").alias("doc_b"))
     return (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -294,12 +325,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = corpus.join(
         F.broadcast(fr_ids), (F.col("doc_id") % 1_000_000) == F.col("fr_id"), "left_semi"
     )
-    toks = _tokens_col()
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+    sh = (
+        corpus.withColumn("__t", _tokens_col())
+        .withColumn("__sh", _shingles(F.col("__t")))
+        .select("doc_id", F.explode(F.array_distinct("__sh")).alias("s"))
     )
-    sh = corpus.select("doc_id", F.explode(F.array_distinct(shingles)).alias("s"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
     b = sh.select(F.col("doc_id").alias("doc_b"), "s")

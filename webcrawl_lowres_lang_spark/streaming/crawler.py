@@ -194,6 +194,14 @@ class CrawlEngine:
         for _ in range(c.rounds):
             ledger, frontier = self.run_round(frontier)
             self._checkpoint(ledger, frontier)
+            # CUT LINEAGE: continue from the materialized snapshot, not the
+            # in-memory plan — otherwise round N re-executes rounds 1..N-1
+            # inside every action (measured 10x+ blowup by round 3). This is
+            # exactly what Iceberg snapshot-per-round gives on a cluster.
+            frontier = self.spark.read.parquet(
+                os.path.join(self.dir, f"frontier/r{self.round}")
+            )
+            ledger.unpersist()
             self.round += 1
 
     def _checkpoint(self, ledger: DataFrame, frontier: DataFrame) -> None:
@@ -202,16 +210,23 @@ class CrawlEngine:
         # already stored in the files; a partition dir would duplicate it
         ledger.write.mode("overwrite").parquet(os.path.join(self.dir, f"ledger/r{r}"))
         frontier.write.mode("overwrite").parquet(os.path.join(self.dir, f"frontier/r{r}"))
+        # metrics from the WRITTEN snapshots (cheap parquet scans — never
+        # re-execute the round plan), one aggregate per table:
         # per-partition lineage + frontier/fetch metrics (north rule)
+        led = self.spark.read.parquet(os.path.join(self.dir, f"ledger/r{r}"))
+        fr = self.spark.read.parquet(os.path.join(self.dir, f"frontier/r{r}"))
+        led_stats = led.agg(
+            F.count("*").alias("fetched"),
+            F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("ok"),
+        ).collect()[0]
         part_rows = (
-            frontier.withColumn("__pid", F.spark_partition_id())
-            .groupBy("__pid").count().collect()
+            fr.withColumn("__pid", F.spark_partition_id()).groupBy("__pid").count().collect()
         )
         m = {
             "round": r,
-            "fetched": ledger.count(),
-            "fetched_ok": ledger.filter(F.col("status") == 200).count(),
-            "frontier_pending": frontier.count(),
+            "fetched": int(led_stats["fetched"]),
+            "fetched_ok": int(led_stats["ok"] or 0),
+            "frontier_pending": int(sum(x["count"] for x in part_rows)),
             "seen_total": self.seen.count(),
             "partitions": sorted([(int(x["__pid"]), int(x["count"])) for x in part_rows]),
             "config": asdict(self.cfg),

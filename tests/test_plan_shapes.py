@@ -1,0 +1,79 @@
+"""Physical-plan shape assertions (the 100 TB questions, SURVEY §4):
+filters reach the parquet scan, projections prune the read schema, small
+dims broadcast, aggregations have a map-side partial step, top-k plans as
+TakeOrderedAndProject, and nothing falls back to cartesian products.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from webcrawl_lowres_lang_spark.plans import crawl_ops, pipeline_ops, relational  # noqa: F401
+from webcrawl_lowres_lang_spark.plans.registry import REGISTRY
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    p = _plan(spark, "s1_scan_filter_project")
+    assert "PushedFilters: [" in p
+    assert "EqualTo(o_orderstatus,F)" in p
+    # the plan string elides long filter lists ("GreaterThan(o_total...")
+    assert "GreaterThan(o_total" in p
+
+
+def test_projection_prunes_read_schema(spark):
+    p = _plan(spark, "s1_scan_filter_project")
+    # orders has 6 columns; the query needs only 4 (3 projected + filter cols)
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, p
+    cols = [c.split(":")[0] for c in m.group(1).split(",")]
+    assert set(cols) == {"o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"}
+
+
+def test_small_dim_broadcasts(spark):
+    p = _plan(spark, "j1_join_group_agg")
+    assert "BroadcastHashJoin" in p, "customer build side must broadcast"
+
+
+def test_anti_join_not_cartesian(spark):
+    p = _plan(spark, "j5_seen_set_anti_join")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_partial_aggregation_present(spark):
+    p = _plan(spark, "a1_group_count")
+    # partial+final hash aggregate pair = map-side combine before shuffle
+    assert p.count("HashAggregate") >= 2
+
+
+def test_topk_uses_take_ordered(spark):
+    p = _plan(spark, "a7_filtered_count_topk")
+    assert "TakeOrderedAndProject" in p, "ORDER BY + LIMIT must not global-sort"
+
+
+def test_no_cartesian_anywhere(spark):
+    # every registered plan must avoid cartesian products (the ann_* queries
+    # use inequality-filtered broadcast joins: BroadcastNestedLoop is
+    # acceptable only when one side is a handful of broadcast query rows)
+    for name in REGISTRY:
+        if name == "crawl_round_smoke":
+            continue  # runs a full crawl; plan built at runtime
+        p = _plan(spark, name)
+        assert "CartesianProduct" not in p, name
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    df = REGISTRY["q1_pricing_summary"].fn(spark, SF)
+    df.collect()  # AQE finalizes the plan only on execution
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # codegen'd stages print as "*(n)" prefixes in the final adaptive plan
+    assert "isFinalPlan=true" in p and "*(" in p

@@ -28,18 +28,26 @@ def get_spark(
     ``spark-submit --py-files``; everything else carries over unchanged.
     """
     master = master or f"local[{DEFAULT_CPUS}]"
+    # one BLAS thread per python worker: with K workers on K cores, letting
+    # OpenBLAS/MKL spawn K threads EACH oversubscribes the box K-fold
+    # (measured: local[32] ran 4x slower than local[8] on the decode-heavy
+    # fetch stage before this). Standard practice for Spark+numpy executors.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     # local-mode equivalent of `spark-submit --py-files`: python workers
     # inherit PYTHONPATH, so make the package importable regardless of cwd
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     pp = os.environ.get("PYTHONPATH", "")
     if repo_root not in pp.split(os.pathsep):
         os.environ["PYTHONPATH"] = f"{repo_root}{os.pathsep}{pp}" if pp else repo_root
-    # local[N] -> N parallel tasks; shuffle partitions = cores keeps every
-    # stage fully parallel without tiny-partition overhead at test scale.
+    # 3 tasks per core: single-wave scheduling (partitions == cores) lets one
+    # straggler idle the whole pool; 3 waves self-balance. Same rule as the
+    # 2-3x total-cores guidance on a real cluster.
     if shuffle_partitions is None:
         if master.startswith("local["):
             inner = master[len("local[") : -1]
-            shuffle_partitions = DEFAULT_CPUS if inner == "*" else int(inner)
+            cores = DEFAULT_CPUS if inner == "*" else int(inner)
+            shuffle_partitions = cores * 3
         else:
             shuffle_partitions = 200
 

@@ -109,10 +109,13 @@ def throughput_job(cpus: int, parts: int) -> dict:
     lex_rows = fx.gen_lexicon_rows(SEED, 48)
     lex = LexiconVector(dict(lex_rows))
     d = fixture_dir()
-    links = spark.read.parquet(os.path.join(d, "links"))
-    pages = spark.read.parquet(os.path.join(d, "pages"))
+    # cache fixtures in executor memory pre-timer: the measured region is
+    # crawl compute, not /tmp disk bandwidth (I/O-bound scans don't scale
+    # with cores and would masquerade as poor engine scaling)
+    links = spark.read.parquet(os.path.join(d, "links")).cache()
+    pages = spark.read.parquet(os.path.join(d, "pages")).cache()
     robots = fx.gen_robots(spark, SEED, N_HOSTS).cache()
-    robots.count()
+    links.count(), pages.count(), robots.count()
     score_udf = relevance_udf(spark, lex)
 
     frontier = links.select("url_id", "url", "robots_disallow").withColumn(
@@ -146,6 +149,10 @@ def main() -> None:
     parts = n_hi * 3  # fixed data layout across both cluster sizes
     gen_fixtures()
     results = {}
+    ceilings = []
+    # the sandbox VM's effective CPU capacity drifts (shared host), so the
+    # hardware ceiling is sampled AROUND each measured child run
+    ceilings.append(raw_cpu_ceiling(n_lo, n_hi))
     for cpus in (n_lo, n_hi):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child", str(cpus), str(parts)],
@@ -157,8 +164,9 @@ def main() -> None:
             sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
             raise SystemExit(f"child local[{cpus}] failed")
         results[cpus] = json.loads(line[-1][len("RESULT "):])
+        ceilings.append(raw_cpu_ceiling(n_lo, n_hi))
 
-    ceiling = raw_cpu_ceiling(n_lo, n_hi)
+    ceiling = sum(ceilings) / len(ceilings)
     thr_lo, thr_hi = results[n_lo]["urls_per_sec"], results[n_hi]["urls_per_sec"]
     speedup = thr_hi / thr_lo
     eff = speedup / (n_hi / n_lo)
@@ -172,6 +180,7 @@ def main() -> None:
                 "low": results[n_lo],
                 "high": results[n_hi],
                 "speedup": round(speedup, 2),
+                "hw_ceiling_speedups": [round(c, 2) for c in ceilings],
                 "hw_ceiling_speedup": round(ceiling, 2),
                 "efficiency_normalized_to_hw": round(speedup / ceiling, 3),
                 "shuffle_partitions": parts,

@@ -664,6 +664,31 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal (binary-column) operators — rows-only driver check; pixel-exact
+# gates live in tests/test_multimodal.py and the crawl parity suite
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_image_features",
+    oracle=None,  # binary decode not SQL-expressible; rows-only check
+    survey_ref="U8,C19,S17",
+    tags=("multimodal",),
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Opaque binary column -> decode -> channel stats + 8x8 thumbnail
+    # embedding, all in Arrow batches (operators/multimodal.py). Input is
+    # the deterministic synthetic image store (driver tables carry no
+    # binary columns).
+    from ..operators.multimodal import image_features
+    from ..sources import fixtures as fx
+
+    lex = [t for t, _ in fx.gen_lexicon_rows(42, 16)]
+    pages = fx.gen_pages(spark, 42, 24, lex)
+    return image_features(pages)
+
+
+# ---------------------------------------------------------------------------
 # Event-stream analytics (batch formulation; streaming twin in streaming/)
 # ---------------------------------------------------------------------------
 

@@ -75,6 +75,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
+    # Shuffle/spill on tmpfs: the sandbox has ONE disk shared by 32 cores,
+    # so disk-bound shuffle writes serialize at high parallelism (a real
+    # cluster scales local disks with executors). RAM-backed local dirs
+    # restore the per-core shuffle bandwidth a cluster node would have.
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        b = b.config("spark.local.dir", "/dev/shm/spark-local")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

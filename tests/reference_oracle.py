@@ -52,6 +52,7 @@ class OracleFetch:
 class OracleState:
     fetches: list[OracleFetch] = field(default_factory=list)
     seen: set[int] = field(default_factory=set)
+    blocked_domains: set[str] = field(default_factory=set)
 
 
 class OracleCrawl:
@@ -132,12 +133,15 @@ class OracleCrawl:
         frontier = self.filter_unseen(self.resolve(seeds), st.seen)
 
         for rnd in range(cfg.rounds):
-            # priority + robots
-            pending = []
+            # priority + robots; rate-limited (429) domains held, not admitted
+            pending, held = [], []
             for row in frontier:
                 rb = self.robots.get(row["host"])
                 if row["robots_disallow"] and rb and rb["respect_disallow"]:
                     continue  # consumed, never fetched
+                if row["domain"] in st.blocked_domains:
+                    held.append(row)
+                    continue
                 prio = quantize9_py(row["relevance"] - DEPTH_WEIGHT * float(row["depth"]))
                 pending.append({**row, "priority": prio})
 
@@ -160,6 +164,8 @@ class OracleCrawl:
             for seq, row in enumerate(admitted, start=1):
                 link = self.url_row(row["url_id"])
                 status = link["status"]
+                if status == 429:
+                    st.blocked_domains.add(row["domain"])
                 image_id, score, ph = None, 0.0, None
                 if status == 200 and link["image_id"] is not None:
                     image_id = link["image_id"]
@@ -179,7 +185,7 @@ class OracleCrawl:
                 )
 
             fresh = self.filter_unseen(self.resolve(discoveries), st.seen)
-            frontier = deferred + fresh
+            frontier = deferred + fresh + held
         return st
 
     def fetch_order(self) -> list[tuple[int, str]]:

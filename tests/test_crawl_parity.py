@@ -112,6 +112,22 @@ def test_near_dup_suppression_matches_quadratic(spark, crawl):
         assert eng_flags[k] == v, f"suppression flag mismatch at order {k}"
 
 
+def test_rate_limit_blocks_domain(crawl):
+    """T4: a 429 exhausts the domain for subsequent rounds (engine set ==
+    oracle set; no fetches from a blocked domain after its block round)."""
+    eng, st = crawl
+    assert eng.blocked_domains == st.blocked_domains
+    if not st.blocked_domains:
+        pytest.skip("fixture produced no 429s at this size")
+    first_429 = {}
+    for f in st.fetches:
+        if f.status == 429 and f.domain not in first_429:
+            first_429[f.domain] = f.round
+    for f in st.fetches:
+        if f.domain in first_429:
+            assert f.round <= first_429[f.domain], (f.domain, f.round)
+
+
 def test_resume_equivalence(spark, tmp_path):
     """2 rounds + resume + 1 round == 3 straight rounds (north rule:
     resumable from snapshot checkpoints)."""

@@ -95,6 +95,11 @@ class CrawlEngine:
         )
         self.round = 0
         self.metrics: list[dict] = []
+        # T4 rate-limit semantics: a 429 from a domain exhausts its budget
+        # for the REST OF THE CRAWL (reference: stop_event on HTTP 429,
+        # lrl-crawler.py:280-291, generalized per-domain instead of
+        # whole-crawl). Rows of blocked domains stay queued, never admitted.
+        self.blocked_domains: set[str] = set()
 
     # -- discovery plumbing ---------------------------------------------------
 
@@ -164,6 +169,12 @@ class CrawlEngine:
         c = self.cfg
         p = with_priority(frontier)
         p = robots_filter(p, self.robots)
+        if self.blocked_domains:
+            blocked = F.array(*[F.lit(d) for d in sorted(self.blocked_domains)])
+            held = p.filter(F.array_contains(blocked, F.col("domain")))
+            p = p.filter(~F.array_contains(blocked, F.col("domain")))
+        else:
+            held = None
         admitted, deferred = admit_per_domain(p, self.robots, c.host_budget)
 
         ledger = fetch_and_validate(admitted, self.links, self.pages, c.seed, c.validate_pixels)
@@ -181,7 +192,16 @@ class CrawlEngine:
         fresh = self.seen.filter_unseen(resolved)
         self.seen.add(fresh.select("url_hash"))
 
+        # domains rate-limited this round are exhausted from now on
+        newly_blocked = {
+            r["domain"]
+            for r in ledger.filter(F.col("status") == 429).select("domain").distinct().collect()
+        }
+        self.blocked_domains |= newly_blocked
+
         next_frontier = deferred.select(*fresh.columns).unionByName(fresh)
+        if held is not None:
+            next_frontier = next_frontier.unionByName(held.select(*fresh.columns))
         return ledger, next_frontier
 
     # -- full run with checkpoints ------------------------------------------------
@@ -229,6 +249,7 @@ class CrawlEngine:
             "frontier_pending": int(sum(x["count"] for x in part_rows)),
             "seen_total": self.seen.count(),
             "partitions": sorted([(int(x["__pid"]), int(x["count"])) for x in part_rows]),
+            "blocked_domains": sorted(self.blocked_domains),
             "config": asdict(self.cfg),
         }
         self.metrics.append(m)
@@ -254,6 +275,7 @@ class CrawlEngine:
             meta = json.load(f)
         eng = cls(spark, CrawlConfig(**meta["config"]), checkpoint_dir)
         eng.round = last + 1
+        eng.blocked_domains = set(meta.get("blocked_domains", []))
         eng.seen.build_bloom()
         return eng
 

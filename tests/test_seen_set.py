@@ -61,6 +61,17 @@ def test_distributed_build_matches_local(spark):
         assert (dist.shards[sid].words == local.shards[sid].words).all(), sid
 
 
+def test_bloom_sizing_at_design_scale():
+    """10^10-URL capacity layout (north rule): total filter ~11-12 GiB at
+    1% fpp, sharded into bounded per-executor pieces; k stays small."""
+    cfg = BloomConfig(capacity=10_000_000_000, fpp=0.01, num_shards=1024)
+    total_gib = cfg.total_bits / 8 / 2**30
+    shard_mib = cfg.bits_per_shard / 8 / 2**20
+    assert 10.0 < total_gib < 13.0, total_gib
+    assert shard_mib < 16.0, "shards must stay broadcast/merge friendly"
+    assert 5 <= cfg.num_hashes <= 16
+
+
 @pytest.fixture()
 def seen(spark, tmp_path):
     return SeenSet(spark, str(tmp_path / "seen"), n_buckets=8, bloom_config=CFG)

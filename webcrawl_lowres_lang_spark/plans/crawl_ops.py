@@ -402,6 +402,64 @@ def w9_priority_frontier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s8_latest_state_wins",
+    oracle="""
+    SELECT user_id, event_type AS state, ts AS state_ts
+    FROM (SELECT user_id, event_type, ts,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+    WHERE rn = 1
+    """,
+    survey_ref="S8,S9,T6",
+    tags=("crawl",),
+)
+def s8_latest_state_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The engine's replacement for the reference's per-row UPDATE flags
+    # (sql.py:249-309): state transitions append; the current state is a
+    # latest-wins window — the same MERGE-free pattern Iceberg appends use.
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("state"), F.col("ts").alias("state_ts"))
+    )
+
+
+@register(
+    "t5_salted_skew_join",
+    oracle="""
+    SELECT l.l_returnflag, COUNT(*) AS cnt, ROUND(SUM(o.o_totalprice), 2) AS total
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_returnflag
+    """,
+    survey_ref="T5",
+    tags=("crawl",),
+)
+def t5_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Skew-defusing salted join, made explicit (the crawl engine uses the
+    # same keying for hot hosts; AQE skew-split is the automatic fallback):
+    # probe side salted into 8 sub-keys via a stable hash, build side
+    # exploded 8x, join on (key, salt) — result identical to the plain
+    # join the oracle runs, but no single reducer owns a hot key.
+    from ..determinism import salt
+
+    n_salt = 8
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    li = li.withColumn("__salt", salt(7, n_salt, "l_orderkey", "l_returnflag"))
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    o = o.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
+    j = li.join(
+        o.hint("shuffle_hash"),
+        (li.l_orderkey == o.o_orderkey) & (li["__salt"] == o["__salt"]),
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@register(
     "crawl_round_smoke",
     oracle=None,  # full distributed loop; parity-tested in pytest instead
     survey_ref="T1-T7,J5,W9,U2,U6,U8",

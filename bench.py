@@ -70,13 +70,20 @@ def main() -> None:
     # frontier-scheduling + fetch under politeness budget)
     from webcrawl_lowres_lang_spark.streaming.crawler import CrawlConfig, CrawlEngine
 
-    with tempfile.TemporaryDirectory() as td:
-        t0 = time.perf_counter()
-        eng = CrawlEngine(spark, CrawlConfig(**CRAWL_BENCH), td)
-        eng.run()
-        crawl_secs = time.perf_counter() - t0
-        fetched = eng.ledger_df().count()
-        seen_total = eng.seen.count()
+    # crawl rounds are many small jobs — size partitions to round volume,
+    # not to the big-scan default (3x cores), or task scheduling dominates
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(DEFAULT_CPUS))
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            t0 = time.perf_counter()
+            eng = CrawlEngine(spark, CrawlConfig(**CRAWL_BENCH), td)
+            eng.run()
+            crawl_secs = time.perf_counter() - t0
+            fetched = eng.ledger_df().count()
+            seen_total = eng.seen.count()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
     total = round(sum(timings.values()), 3)
     out = {

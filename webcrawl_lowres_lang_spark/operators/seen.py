@@ -108,17 +108,21 @@ class SeenSet:
 
     # -- mutation -------------------------------------------------------------
 
-    def add(self, df: DataFrame) -> int:
+    def add(self, df: DataFrame, assume_new: bool = False) -> int:
         """Append *new* hashes (caller usually passes filter_unseen output).
 
-        Dedups within the batch and against the store, then appends,
-        partitioned by bucket. Returns rows added. Also folds the new keys
-        into the in-memory Bloom if one is loaded (no rebuild per round).
+        Dedups within the batch — and against the store unless
+        ``assume_new`` (set it when the batch is this round's
+        ``filter_unseen`` output: it is already disjoint from the store, so
+        the extra anti-join + store scan per round is pure overhead).
+        Returns rows added. Also folds the new keys into the in-memory
+        Bloom if one is loaded (no rebuild per round).
         """
         new = self._with_bucket(df.select("url_hash").distinct())
-        new = new.join(
-            self.load().select("bucket", "url_hash"), ["bucket", "url_hash"], "left_anti"
-        )
+        if not assume_new:
+            new = new.join(
+                self.load().select("bucket", "url_hash"), ["bucket", "url_hash"], "left_anti"
+            )
         pdf = new.toPandas() if self._bloom is not None else None
         if pdf is not None:
             # fold into the live bloom before persisting (small driver hop —
@@ -126,10 +130,14 @@ class SeenSet:
             self._bloom.add_many(pdf["url_hash"].to_numpy())
             self._bloom_bc = self.spark.sparkContext.broadcast(self._bloom)
             out = self.spark.createDataFrame(pdf[["url_hash", "bucket"]], SEEN_SCHEMA)
-        else:
-            out = new.select("url_hash", "bucket")
+            n = len(pdf)
+            out.write.mode("append").partitionBy("bucket").parquet(self.path)
+            return n
+        out = new.select("url_hash", "bucket").cache()
+        n = out.count()
         out.write.mode("append").partitionBy("bucket").parquet(self.path)
-        return out.count()
+        out.unpersist()
+        return n
 
     # -- bloom lifecycle -------------------------------------------------------
 

@@ -95,6 +95,7 @@ class CrawlEngine:
         )
         self.round = 0
         self.metrics: list[dict] = []
+        self._seen_total = 0  # running counter — avoids a store scan per round
         # T4 rate-limit semantics: a 429 from a domain exhausts its budget
         # for the REST OF THE CRAWL (reference: stop_event on HTTP 429,
         # lrl-crawler.py:280-291, generalized per-domain instead of
@@ -135,7 +136,7 @@ class CrawlEngine:
         disc = self.spark.createDataFrame(rows, DISCOVERY_SCHEMA)
         resolved = self._resolve_discoveries(disc)
         fresh = self.seen.filter_unseen(resolved)
-        self.seen.add(fresh.select("url_hash"))
+        self._seen_total += self.seen.add(fresh.select("url_hash"), assume_new=True)
         return fresh
 
     def _discover_outlinks(self, fetched: DataFrame) -> DataFrame:
@@ -169,13 +170,17 @@ class CrawlEngine:
         c = self.cfg
         p = with_priority(frontier)
         p = robots_filter(p, self.robots)
+        # cache: admitted/deferred/held all branch from p, and each write/
+        # action would otherwise re-execute the canonicalize+window chain
+        p = p.cache()
         if self.blocked_domains:
             blocked = F.array(*[F.lit(d) for d in sorted(self.blocked_domains)])
             held = p.filter(F.array_contains(blocked, F.col("domain")))
-            p = p.filter(~F.array_contains(blocked, F.col("domain")))
+            p_active = p.filter(~F.array_contains(blocked, F.col("domain")))
         else:
             held = None
-        admitted, deferred = admit_per_domain(p, self.robots, c.host_budget)
+            p_active = p
+        admitted, deferred = admit_per_domain(p_active, self.robots, c.host_budget)
 
         ledger = fetch_and_validate(admitted, self.links, self.pages, c.seed, c.validate_pixels)
         ledger = ledger.withColumn(
@@ -189,8 +194,8 @@ class CrawlEngine:
 
         disc = self._discover_outlinks(ledger)
         resolved = self._resolve_discoveries(disc)
-        fresh = self.seen.filter_unseen(resolved)
-        self.seen.add(fresh.select("url_hash"))
+        fresh = self.seen.filter_unseen(resolved).cache()
+        self._seen_total += self.seen.add(fresh.select("url_hash"), assume_new=True)
 
         # domains rate-limited this round are exhausted from now on
         newly_blocked = {
@@ -202,6 +207,7 @@ class CrawlEngine:
         next_frontier = deferred.select(*fresh.columns).unionByName(fresh)
         if held is not None:
             next_frontier = next_frontier.unionByName(held.select(*fresh.columns))
+        self._round_caches = [p, fresh]  # unpersisted after the checkpoint write
         return ledger, next_frontier
 
     # -- full run with checkpoints ------------------------------------------------
@@ -222,6 +228,8 @@ class CrawlEngine:
                 os.path.join(self.dir, f"frontier/r{self.round}")
             )
             ledger.unpersist()
+            for df in getattr(self, "_round_caches", []):
+                df.unpersist()
             self.round += 1
 
     def _checkpoint(self, ledger: DataFrame, frontier: DataFrame) -> None:
@@ -247,7 +255,7 @@ class CrawlEngine:
             "fetched": int(led_stats["fetched"]),
             "fetched_ok": int(led_stats["ok"] or 0),
             "frontier_pending": int(sum(x["count"] for x in part_rows)),
-            "seen_total": self.seen.count(),
+            "seen_total": self._seen_total,
             "partitions": sorted([(int(x["__pid"]), int(x["count"])) for x in part_rows]),
             "blocked_domains": sorted(self.blocked_domains),
             "config": asdict(self.cfg),
@@ -276,6 +284,7 @@ class CrawlEngine:
         eng = cls(spark, CrawlConfig(**meta["config"]), checkpoint_dir)
         eng.round = last + 1
         eng.blocked_domains = set(meta.get("blocked_domains", []))
+        eng._seen_total = int(meta.get("seen_total", 0))
         eng.seen.build_bloom()
         return eng
 

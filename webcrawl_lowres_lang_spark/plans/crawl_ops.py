@@ -256,7 +256,7 @@ def j7_lexicon_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, p_idx,
              array_to_string(list_slice(t, p_idx * 12 + 1, (p_idx + 1) * 12), ' ') AS para,
              len(list_slice(t, p_idx * 12 + 1, (p_idx + 1) * 12)) AS wc
-      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents WHERE len({_TOKENS_SQL}) > 0),
            UNNEST(range(0, (len(t) + 11) // 12)) AS u(p_idx)
     ),
     scored AS (
@@ -287,7 +287,10 @@ def a13_paragraph_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " "),
         lambda x: x != "",
     )
-    d = load(spark, sf_dir, "documents").select("doc_id", toks.alias("t"))
+    # Guard token-empty docs: sequence(0, -1) DESCENDS in Spark (emitting
+    # [0,-1] -> 2 phantom paras) while the oracle's range(0,0) emits nothing;
+    # both engines must drop such docs (same guard a14 uses).
+    d = load(spark, sf_dir, "documents").select("doc_id", toks.alias("t")).filter(F.size("t") > 0)
     paras = d.select(
         "doc_id",
         F.explode(

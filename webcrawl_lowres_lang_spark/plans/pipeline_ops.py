@@ -679,13 +679,36 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Opaque binary column -> decode -> channel stats + 8x8 thumbnail
     # embedding, all in Arrow batches (operators/multimodal.py). Input is
     # the deterministic synthetic image store (driver tables carry no
-    # binary columns).
+    # binary columns). The driver-facing projection is SCALAR-ONLY: the
+    # rows-only canonicalizer sorts columns through pandas, which cannot
+    # hash list cells — so the thumb vector is exported as an md5 digest
+    # plus its L2 norm; the array form stays available internally for the
+    # ann_* operators via image_features() directly.
     from ..operators.multimodal import image_features
     from ..sources import fixtures as fx
 
     lex = [t for t, _ in fx.gen_lexicon_rows(42, 16)]
     pages = fx.gen_pages(spark, 42, 24, lex)
-    return image_features(pages)
+    feats = image_features(pages)
+    thumb_str = F.concat_ws(
+        ",", F.transform(F.col("thumb"), lambda x: F.round(x.cast("double"), 6).cast("string"))
+    )
+    thumb_norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("thumb"), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return feats.select(
+        "image_id", "w", "h", "fmt",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("std_gray", 4).alias("std_gray"),
+        F.md5(thumb_str).alias("thumb_digest"),
+        F.round(thumb_norm, 6).alias("thumb_norm"),
+    )
 
 
 # ---------------------------------------------------------------------------

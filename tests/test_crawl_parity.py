@@ -87,15 +87,15 @@ def test_politeness_budget_respected(crawl):
         assert row["count"] <= max_delay_budget, (row["domain"], row["count"])
 
 
-def test_near_dup_suppression_matches_quadratic(spark, crawl):
+def test_near_dup_suppression_in_pipeline_matches_quadratic(crawl):
+    """The IN-LEDGER dup_of column (wired into every round, cumulative
+    across rounds) must equal a quadratic earliest-neighbor recomputation
+    over the whole crawl in (round, fetch_seq) order."""
     eng, _ = crawl
-    ledger = eng.ledger_df().withColumn(
-        "order_key", F.col("round") * 1_000_000 + F.col("fetch_seq")
-    )
-    flagged = suppress_near_dups(ledger, "phash", "order_key")
+    ledger = eng.ledger_df()
     eng_flags = {
-        r["order_key"]: r["dup_of"] is not None
-        for r in flagged.select("order_key", "dup_of").collect()
+        r["order_key"]: r["dup_of"]
+        for r in ledger.select("order_key", "dup_of").collect()
     }
     rows = sorted(
         (
@@ -104,12 +104,46 @@ def test_near_dup_suppression_matches_quadratic(spark, crawl):
             if r["phash"] is not None
         ),
     )
-    expected = {}
+    expected: dict[int, int | None] = {}
     for i, (ok_i, ph_i) in enumerate(rows):
-        expected[ok_i] = any(hamming64(ph_j, ph_i) <= 4 for _, ph_j in rows[:i])
-    assert sum(expected.values()) > 0, "fixture should contain near-dups"
+        near = [ok_j for ok_j, ph_j in rows[:i] if hamming64(ph_j, ph_i) <= 4]
+        expected[ok_i] = min(near) if near else None
+    assert sum(v is not None for v in expected.values()) > 0, "fixture should contain near-dups"
     for k, v in expected.items():
-        assert eng_flags[k] == v, f"suppression flag mismatch at order {k}"
+        assert eng_flags[k] == v, f"suppression mismatch at order {k}: {eng_flags[k]} != {v}"
+    # failed fetches (phash NULL) never get a verdict
+    assert ledger.filter(F.col("phash").isNull() & F.col("dup_of").isNotNull()).count() == 0
+
+
+def test_standalone_suppression_op_matches_pipeline(crawl):
+    """suppress_near_dups applied to the full ledger in one pass ==
+    the round-incremental pipeline column."""
+    eng, _ = crawl
+    ledger = eng.ledger_df()
+    one_pass = suppress_near_dups(ledger.drop("dup_of"), "phash", "order_key")
+    a = {r["order_key"]: r["dup_of"] for r in one_pass.select("order_key", "dup_of").collect()}
+    b = {r["order_key"]: r["dup_of"] for r in ledger.select("order_key", "dup_of").collect()}
+    assert a == b
+
+
+def test_reject_and_label_columns(crawl):
+    """S14/S16 rejected flag + F11 lang_label are in the ledger and obey
+    their defining rules."""
+    eng, _ = crawl
+    led = eng.ledger_df()
+    assert led.filter((F.col("status") != 200) & ~F.col("rejected")).count() == 0
+    # fixture formats are all known -> successful fetches never rejected
+    assert led.filter((F.col("status") == 200) & F.col("rejected")).count() == 0
+    th, lang = CFG.cossim_threshold, CFG.lang
+    mislabeled = led.filter(
+        (F.col("status") == 200)
+        & (
+            ((F.col("caption_score") > th) & (F.col("lang_label") != lang))
+            | ((F.col("caption_score") <= th) & (F.col("lang_label") != f"NON-{lang}"))
+        )
+    ).count()
+    assert mislabeled == 0
+    assert led.filter((F.col("status") != 200) & F.col("lang_label").isNotNull()).count() == 0
 
 
 def test_rate_limit_blocks_domain(crawl):

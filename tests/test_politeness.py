@@ -1,0 +1,71 @@
+"""Two-phase salted admission == plain per-domain window on a skewed
+frontier (one domain owning half the rows), incl. the deferred split."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from webcrawl_lowres_lang_spark.determinism import hrand
+from webcrawl_lowres_lang_spark.operators.politeness import admit_per_domain
+from webcrawl_lowres_lang_spark.sources import fixtures as fx
+
+
+def _skewed_frontier(spark, n=4000):
+    # domain 'hot.com' owns 50% of rows; the rest spread over 40 domains
+    df = spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, F.lit("hot.com"))
+        .otherwise(F.concat(F.lit("d"), (F.col("id") % 40).cast("string"), F.lit(".com")))
+        .alias("domain"),
+        (hrand(5, "id") * 10).alias("priority"),
+        F.xxhash64("id").alias("url_hash"),
+    )
+    return df.withColumn("host", F.concat(F.lit("www."), F.col("domain")))
+
+
+def _plain_window_admission(f, robots, base_budget):
+    d = robots.select(
+        F.col("host").alias("__d_host"), F.col("crawl_delay").alias("__d_delay")
+    )
+    j = f.join(F.broadcast(d), f.host == F.col("__d_host"), "left")
+    j = j.withColumn(
+        "__budget",
+        F.greatest(
+            F.lit(1),
+            F.floor(
+                F.lit(base_budget) / (F.lit(1.0) + F.coalesce(F.col("__d_delay"), F.lit(0.0)))
+            ),
+        ).cast("int"),
+    ).drop("__d_host", "__d_delay")
+    w = Window.partitionBy("domain").orderBy(F.desc("priority"), F.asc("url_hash"))
+    j = j.withColumn("__rank", F.row_number().over(w))
+    return (
+        j.filter(F.col("__rank") <= F.col("__budget")).drop("__rank", "__budget"),
+        j.filter(F.col("__rank") > F.col("__budget")).drop("__rank", "__budget"),
+    )
+
+
+def test_salted_admission_identical_to_plain_window(spark):
+    f = _skewed_frontier(spark).cache()
+    robots = fx.gen_robots(spark, 42, 8)  # hosts won't match -> default budget
+    adm, dfr = admit_per_domain(f, robots, base_budget=5, salt_buckets=16)
+    adm0, dfr0 = _plain_window_admission(f, robots, 5)
+    got_a = sorted(r["id"] for r in adm.collect())
+    want_a = sorted(r["id"] for r in adm0.collect())
+    got_d = sorted(r["id"] for r in dfr.collect())
+    want_d = sorted(r["id"] for r in dfr0.collect())
+    f.unpersist()
+    assert got_a == want_a
+    assert got_d == want_d
+    # the hot domain's admitted rows respect the budget
+    assert adm0.filter(F.col("domain") == "hot.com").count() <= 5
+
+
+def test_salted_admission_columns_preserved(spark):
+    f = _skewed_frontier(spark, 200)
+    robots = fx.gen_robots(spark, 42, 8)
+    adm, dfr = admit_per_domain(f, robots, base_budget=3, salt_buckets=4)
+    assert set(adm.columns) == set(f.columns)
+    assert set(dfr.columns) == set(f.columns)
+    assert adm.count() + dfr.count() == 200

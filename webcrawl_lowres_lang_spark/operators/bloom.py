@@ -47,19 +47,32 @@ class BloomConfig:
 
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
+_MIX2 = np.uint64(0xD1B54A32D192ED03)  # second independent odd increment
 
 
-def _h1_h2(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Two derived 64-bit streams from one xxhash64 key (splitmix-style)."""
-    k = keys.astype(np.uint64)
-    h1 = k
-    z = (k + _MIX) & np.uint64(0xFFFFFFFFFFFFFFFF)
+def _splitmix(k: np.ndarray, inc: np.uint64) -> np.ndarray:
+    z = (k + inc) & np.uint64(0xFFFFFFFFFFFFFFFF)
     z ^= z >> np.uint64(30)
     z = (z * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
     z ^= z >> np.uint64(27)
     z = (z * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
     z ^= z >> np.uint64(31)
-    h2 = z | np.uint64(1)  # odd -> full-period stepping
+    return z
+
+
+def _h1_h2(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Two derived 64-bit streams from one xxhash64 key (splitmix-style).
+
+    h1 MUST be mixed, not the raw key: the shard id is ``key % num_shards``
+    and bits_per_shard is a multiple of 64 that num_shards divides, so a raw
+    h1's first probe (i=0) would be confined to 1/num_shards of its shard's
+    bit range — the first hash carries ~1.5-2x the designed load and the
+    realized fpp overshoots the target. Independent splitmix increments for
+    h1 and h2 decorrelate the two streams from the shard assignment.
+    """
+    k = keys.astype(np.uint64)
+    h1 = _splitmix(k, _MIX2)
+    h2 = _splitmix(k, _MIX) | np.uint64(1)  # odd -> full-period stepping
     return h1, h2
 
 

@@ -83,8 +83,13 @@ def suppress_near_dups(
     # earliest suppressor per suppressed representative
     earliest = pairs.groupBy("ord_b").agg(F.min("ord_a").alias("__near_dup_of"))
 
-    # map back: every row inherits its representative's verdict; exact dups
-    # (non-representatives) are suppressed by their exemplar directly
+    # map back: every row inherits its representative's verdict. dup_of is
+    # the TRUE earliest neighbor (matches a quadratic min exactly):
+    # - representative: its earliest near rep (the global earliest neighbor
+    #   of any phash value is always a representative — if the earliest
+    #   were a non-rep, its exemplar would be even earlier and equally near)
+    # - exact dup (non-rep): least(exemplar's order, exemplar's verdict) —
+    #   an earlier NEAR neighbor of the exemplar beats the exemplar itself
     rep_verdict = reps.join(earliest, reps["__ord"] == earliest["ord_b"], "left").select(
         F.col("__ph").alias("__v_ph"), F.col("__near_dup_of").alias("__rep_dup_of"),
         F.col("__ord").alias("__rep_ord"),
@@ -94,7 +99,13 @@ def suppress_near_dups(
         .withColumn(
             "dup_of",
             F.when(F.col(phash_col).isNull(), F.lit(None).cast("long"))
-            .when(F.col(order_col) > F.col("__rep_ord"), F.col("__rep_ord"))  # exact dup
+            .when(
+                F.col(order_col) > F.col("__rep_ord"),
+                F.least(
+                    F.col("__rep_ord"),
+                    F.coalesce(F.col("__rep_dup_of"), F.col("__rep_ord")),
+                ),
+            )
             .otherwise(F.col("__rep_dup_of")),  # representative: near-dup verdict
         )
         .drop("__v_ph", "__rep_dup_of", "__rep_ord")

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..determinism import quantize9
+from ..determinism import quantize9, salt
 
 DEFAULT_HOST_BUDGET = 5
 DEPTH_WEIGHT = 0.1  # priority = relevance - DEPTH_WEIGHT * depth
@@ -74,6 +74,17 @@ def admit_per_domain(
     a total, partition-invariant order (the reference's analog is FIFO id
     order striped round-robin, lrl-crawler.py:582; the north rule upgrades
     it to the priority form).
+
+    Skew handling is a TWO-PHASE top-k, not a plain per-domain window: a hot
+    domain owning half the frontier would otherwise sort its whole slice in
+    one window task. Phase 1 ranks within (domain, salt-bucket) — the hot
+    domain's rows spread over ``salt_buckets`` parallel tasks — keeping only
+    the per-bucket top-``budget``. Because row_number's global top-``budget``
+    rows are each top-``budget`` within their own bucket, phase 1 never
+    drops a row the plain window would admit. Phase 2 ranks the bounded
+    survivor set (≤ salt_buckets × budget rows per domain) globally per
+    domain. The (admitted, deferred) split is identical to the single-window
+    formulation (asserted by tests/test_politeness.py).
     """
     d = robots.select(
         F.col("host").alias("__d_host"),
@@ -87,8 +98,21 @@ def admit_per_domain(
             F.floor(F.lit(base_budget) / (F.lit(1.0) + F.coalesce(F.col("__d_delay"), F.lit(0.0)))),
         ).cast("int"),
     ).drop("__d_host", "__d_delay")
-    w = Window.partitionBy("domain").orderBy(F.desc("priority"), F.asc("url_hash"))
-    f = f.withColumn("__rank", F.row_number().over(w))
-    admitted = f.filter(F.col("__rank") <= F.col("__budget")).drop("__rank", "__budget")
-    deferred = f.filter(F.col("__rank") > F.col("__budget")).drop("__rank", "__budget")
+    order = (F.desc("priority"), F.asc("url_hash"))
+    helpers = ("__salt", "__lrank", "__rank", "__budget")
+    # phase 1: local top-budget within (domain, salt bucket)
+    f = f.withColumn("__salt", salt(11, salt_buckets, "url_hash"))
+    w1 = Window.partitionBy("domain", "__salt").orderBy(*order)
+    f = f.withColumn("__lrank", F.row_number().over(w1))
+    survivors = f.filter(F.col("__lrank") <= F.col("__budget"))
+    losers = f.filter(F.col("__lrank") > F.col("__budget"))
+    # phase 2: global per-domain rank over the bounded survivor set
+    w2 = Window.partitionBy("domain").orderBy(*order)
+    s = survivors.withColumn("__rank", F.row_number().over(w2))
+    admitted = s.filter(F.col("__rank") <= F.col("__budget")).drop(*helpers)
+    deferred = (
+        s.filter(F.col("__rank") > F.col("__budget"))
+        .drop(*helpers)
+        .unionByName(losers.drop("__salt", "__lrank", "__budget"))
+    )
     return admitted, deferred

@@ -115,40 +115,46 @@ class SeenSet:
         ``assume_new`` (set it when the batch is this round's
         ``filter_unseen`` output: it is already disjoint from the store, so
         the extra anti-join + store scan per round is pure overhead).
-        Returns rows added. Also folds the new keys into the in-memory
-        Bloom if one is loaded (no rebuild per round).
+        Returns rows added.
+
+        Bloom fold-in is EXECUTOR-SIDE: the batch's delta Bloom is built
+        with the same treeAggregate path as a full rebuild (shards only, no
+        hash ever materializes on the driver — at 100x scale a discovery
+        round is tens of millions of hashes, a driver ``toPandas`` wall),
+        then shard-OR-merged into the live filter. The superseded broadcast
+        is unpersisted so long crawls don't accumulate one full Bloom
+        snapshot per round on the executors.
         """
         new = self._with_bucket(df.select("url_hash").distinct())
         if not assume_new:
             new = new.join(
                 self.load().select("bucket", "url_hash"), ["bucket", "url_hash"], "left_anti"
             )
-        pdf = new.toPandas() if self._bloom is not None else None
-        if pdf is not None:
-            # fold into the live bloom before persisting (small driver hop —
-            # per-round discovery batches, not the whole set)
-            self._bloom.add_many(pdf["url_hash"].to_numpy())
-            self._bloom_bc = self.spark.sparkContext.broadcast(self._bloom)
-            out = self.spark.createDataFrame(pdf[["url_hash", "bucket"]], SEEN_SCHEMA)
-            n = len(pdf)
-            out.write.mode("append").partitionBy("bucket").parquet(self.path)
-            return n
         out = new.select("url_hash", "bucket").cache()
         n = out.count()
+        if self._bloom is not None and n:
+            delta = build_bloom_from_df(out, "url_hash", self.bloom_config)
+            self._bloom.merge(delta)
+            self._rebroadcast()
         out.write.mode("append").partitionBy("bucket").parquet(self.path)
         out.unpersist()
         return n
 
     # -- bloom lifecycle -------------------------------------------------------
 
+    def _rebroadcast(self) -> None:
+        if self._bloom_bc is not None:
+            self._bloom_bc.unpersist()
+        self._bloom_bc = self.spark.sparkContext.broadcast(self._bloom)
+
     def build_bloom(self, depth: int = 2) -> PartitionedBloom:
         """(Re)build the partitioned Bloom from the exact table via
         treeAggregate-merged per-partition shards."""
         self._bloom = build_bloom_from_df(self.load(), "url_hash", self.bloom_config, depth=depth)
-        self._bloom_bc = self.spark.sparkContext.broadcast(self._bloom)
+        self._rebroadcast()
         return self._bloom
 
     def enable_empty_bloom(self) -> None:
         """Start a fresh crawl with an empty live Bloom (everything unseen)."""
         self._bloom = PartitionedBloom(self.bloom_config)
-        self._bloom_bc = self.spark.sparkContext.broadcast(self._bloom)
+        self._rebroadcast()

@@ -485,4 +485,5 @@ def crawl_round_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.ledger_df().select(
         "round", "fetch_seq", "url_canon", "url_hash", "domain", "depth",
         "priority", "status", "image_id", "caption_score",
+        "rejected", "lang_label", "dup_of",
     )

@@ -37,9 +37,11 @@ from pyspark.sql import functions as F
 from ..determinism import quantize9
 from ..functions.urls import with_url_keys
 from ..operators.bloom import BloomConfig
-from ..operators.fetch import fetch_and_validate
+from ..operators.fetch import fetch_and_validate, sniff_reject
+from ..operators.neardup import suppress_near_dups
+from ..operators.ordering import with_global_sequence
 from ..operators.politeness import admit_per_domain, robots_filter, with_priority
-from ..operators.scoring import LexiconVector, relevance_udf
+from ..operators.scoring import LexiconVector, relevance_udf, threshold_classify
 from ..operators.seen import SeenSet
 from ..sources import fixtures as fx
 from ..sources.querygen import english_filter, gen_queries
@@ -65,6 +67,12 @@ class CrawlConfig:
     rounds: int = 3
     validate_pixels: bool = True
     bloom_capacity: int = 1_000_000
+    # F11 full-page labeling (reference nlp.py:403-416): caption relevance
+    # above the cossim threshold -> lang label, else NON-<lang>
+    lang: str = "LRL"
+    cossim_threshold: float = 0.5
+    # phash near-duplicate suppression distance (north rule)
+    near_dup_max_hamming: int = 4
 
 
 class CrawlEngine:
@@ -174,23 +182,47 @@ class CrawlEngine:
         # action would otherwise re-execute the canonicalize+window chain
         p = p.cache()
         if self.blocked_domains:
-            blocked = F.array(*[F.lit(d) for d in sorted(self.blocked_domains)])
-            held = p.filter(F.array_contains(blocked, F.col("domain")))
-            p_active = p.filter(~F.array_contains(blocked, F.col("domain")))
+            # broadcast-join, not a literal array: plan size stays constant
+            # as the blocked set grows over a long crawl
+            blocked_df = F.broadcast(
+                self.spark.createDataFrame(
+                    [(d,) for d in sorted(self.blocked_domains)], "domain string"
+                )
+            )
+            held = p.join(blocked_df, "domain", "left_semi")
+            p_active = p.join(blocked_df, "domain", "left_anti")
         else:
             held = None
             p_active = p
         admitted, deferred = admit_per_domain(p_active, self.robots, c.host_budget)
 
-        ledger = fetch_and_validate(admitted, self.links, self.pages, c.seed, c.validate_pixels)
-        ledger = ledger.withColumn(
+        scored = fetch_and_validate(admitted, self.links, self.pages, c.seed, c.validate_pixels)
+        scored = scored.withColumn(
             "caption_score",
             F.when(F.col("caption").isNotNull(), quantize9(self.score_udf(F.col("caption"))))
             .otherwise(F.lit(0.0)),
+        ).cache()  # sequence + offset-counts branch from here; avoid double decode
+        # canonical fetch order WITHOUT a single-partition window: range
+        # partition on the sort key, per-partition row_number + offsets
+        seq_caches: list[DataFrame] = []
+        ledger = with_global_sequence(
+            scored, [F.desc("priority"), F.asc("url_hash")], "fetch_seq",
+            caches=seq_caches,
         )
-        order_w = Window.orderBy(F.desc("priority"), F.asc("url_hash"))
-        ledger = ledger.withColumn("fetch_seq", F.row_number().over(order_w))
-        ledger = ledger.withColumn("round", F.lit(self.round)).cache()
+        ledger = ledger.withColumn("round", F.lit(self.round)).withColumn(
+            "order_key", (F.col("round").cast("long") * 1_000_000 + F.col("fetch_seq"))
+        )
+        # S14/S16: unknown content type (or failed fetch) -> rejected flag
+        ledger = sniff_reject(ledger)
+        # F11: full-page language labeling from the relevance score
+        ledger = ledger.withColumn(
+            "lang_label",
+            F.when(
+                F.col("status") == 200,
+                threshold_classify(F.col("caption_score"), c.lang, c.cossim_threshold),
+            ),
+        )
+        ledger = self._with_near_dup_flags(ledger).cache()
 
         disc = self._discover_outlinks(ledger)
         resolved = self._resolve_discoveries(disc)
@@ -207,8 +239,26 @@ class CrawlEngine:
         next_frontier = deferred.select(*fresh.columns).unionByName(fresh)
         if held is not None:
             next_frontier = next_frontier.unionByName(held.select(*fresh.columns))
-        self._round_caches = [p, fresh]  # unpersisted after the checkpoint write
+        self._round_caches = [p, scored, fresh, *seq_caches]  # unpersisted after checkpoint
         return ledger, next_frontier
+
+    def _with_near_dup_flags(self, ledger: DataFrame) -> DataFrame:
+        """phash near-dup suppression wired into the round (north rule):
+        ``dup_of`` = order_key of the earliest near-duplicate across ALL
+        rounds so far (prior rounds' (order_key, phash) pairs union in as
+        slim rows). At real scale the prior side would be a maintained
+        phash-representative side table rather than a ledger re-scan; the
+        banded-LSH pairing itself is already the scale shape."""
+        if self.round > 0:
+            prior = self.ledger_df().select("order_key", "phash")
+            combined = ledger.unionByName(prior, allowMissingColumns=True)
+        else:
+            combined = ledger
+        flagged = suppress_near_dups(
+            combined, "phash", "order_key", self.cfg.near_dup_max_hamming
+        )
+        # prior slim rows carry a NULL round; keep only this round's rows
+        return flagged.filter(F.col("round") == self.round)
 
     # -- full run with checkpoints ------------------------------------------------
 

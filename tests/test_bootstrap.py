@@ -27,11 +27,14 @@ def test_bootstrap_phases_grow_lexicon(spark, tmp_path):
         fx.gen_lexicon_rows(42, 24), {t for (t,) in fx.gen_english_lexicon_rows()}
     )
     store = LexiconStore(spark, str(tmp_path / "lex"))
+    engines = []
 
     def make_engine(lex_rows, phase):
-        # phase crawls use separate checkpoints; lexicon drives queries
+        # phase crawls use separate checkpoints; the grown lexicon REALLY
+        # drives the next phase's queries + scoring via the override
         cfg = CrawlConfig(seed=42, **CFG)
-        eng = CrawlEngine(spark, cfg, str(tmp_path / f"ck{phase}"))
+        eng = CrawlEngine(spark, cfg, str(tmp_path / f"ck{phase}"), lexicon_rows=lex_rows)
+        engines.append(eng)
         return eng
 
     metrics = run_bootstrap_phases(
@@ -41,6 +44,14 @@ def test_bootstrap_phases_grow_lexicon(spark, tmp_path):
     v0 = store.read(0).count()
     assert metrics[0]["lexicon_terms"] >= v0, "merge must never shrink"
     assert metrics[0]["extracted_terms"] > 0, "phase 1 extracted nothing"
+    # T2 end-to-end: phase 2 crawled with the GROWN lexicon, not the seed —
+    # its lexicon (hence the scoring vector) must differ from phase 1's
+    import numpy as np
+
+    assert engines[0].lex_rows == base
+    assert engines[1].lex_rows != base
+    assert len(engines[1].lex_rows) >= len(base)
+    assert not np.array_equal(engines[1].lex.vec, engines[0].lex.vec)
     # determinism: re-running phase 1 extraction gives identical lexicon
     eng = make_engine(base, 99)
     eng.run()

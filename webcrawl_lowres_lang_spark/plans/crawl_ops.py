@@ -463,6 +463,216 @@ def t5_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s5_point_lookup",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey = 7
+    """,
+    survey_ref="S5",
+    tags=("crawl",),
+)
+def s5_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Point lookup by primary key (sql.py:161-165): a literal equality
+    # filter that must reach the scan as a pushed filter (min/max pruning
+    # skips every non-matching row group at scale).
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") == 7)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+@register(
+    "s10_bulk_reset",
+    oracle="""
+    WITH pre AS (
+      SELECT user_id, event_type AS state_before
+      FROM (SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) t
+      WHERE rn = 1
+    ),
+    transitions AS (
+      SELECT user_id, event_type AS state, ts, event_id FROM events
+      UNION ALL
+      SELECT DISTINCT user_id, 'reset',
+             (SELECT MAX(ts) FROM events) + INTERVAL 1 SECOND,
+             9223372036854775807
+      FROM events
+    ),
+    latest AS (
+      SELECT user_id, state,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM transitions
+    )
+    SELECT l.user_id, p.state_before, l.state AS state_after
+    FROM latest l JOIN pre p ON l.user_id = p.user_id
+    WHERE l.rn = 1
+    """,
+    survey_ref="S10,S8",
+    tags=("crawl",),
+)
+def s10_bulk_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bulk reset (sql.py:312-334: "set all rows unhandled") as the engine
+    # does state: APPEND a reset transition per key and let latest-wins
+    # resolve — the prior state stays readable (snapshot/time-travel
+    # semantics), returned here as state_before vs state_after.
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    pre = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("state_before"))
+    )
+    max_ts = e.agg(F.max("ts").alias("__mt"))
+    resets = (
+        e.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(max_ts))
+        .select(
+            "user_id",
+            F.lit("reset").alias("event_type"),
+            F.expr("__mt + INTERVAL 1 SECOND").alias("ts"),
+            F.lit(9223372036854775807).alias("event_id"),
+        )
+    )
+    latest = (
+        e.unionByName(resets)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("state_after"))
+    )
+    return latest.join(pre, "user_id").select("user_id", "state_before", "state_after")
+
+
+_C4_URL_SQL = (
+    "'http://img.example.com/search?q=' || source || '&page=' || "
+    "(doc_id % 5)::VARCHAR || '&safe=on'"
+)
+
+
+@register(
+    "c4_url_param_extract",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_extract({_C4_URL_SQL}, 'q=([a-z0-9]+)', 1) AS q_param,
+           regexp_extract({_C4_URL_SQL}, 'page=([0-9]+)', 1) AS page_param
+    FROM documents
+    """,
+    survey_ref="C4,C3",
+    tags=("crawl",),
+)
+def c4_url_param_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Query-parameter extraction (reference parse_qs, search.py:173-178):
+    # the engine uses parse_url(QUERY, key); the oracle cross-checks with
+    # an independent regex formulation.
+    url = F.concat(
+        F.lit("http://img.example.com/search?q="), F.col("source"),
+        F.lit("&page="), (F.col("doc_id") % 5).cast("string"), F.lit("&safe=on"),
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.parse_url(url, F.lit("QUERY"), F.lit("q")).alias("q_param"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("page")).alias("page_param"),
+    )
+
+
+@register(
+    "c11_query_urlencode",
+    oracle="""
+    SELECT doc_id,
+           replace('kupu ' || source || ' whakaahua', ' ', '+') AS encoded_query,
+           'http://search.example.com/?q=' ||
+             replace('kupu ' || source || ' whakaahua', ' ', '+') AS search_url
+    FROM documents
+    """,
+    survey_ref="C11",
+    tags=("crawl",),
+)
+def c11_query_urlencode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Search-query URL encoding, spaces -> '+' (search.py:43,199).
+    q = F.concat(F.lit("kupu "), F.col("source"), F.lit(" whakaahua"))
+    enc = F.regexp_replace(q, " ", "+")
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        enc.alias("encoded_query"),
+        F.concat(F.lit("http://search.example.com/?q="), enc).alias("search_url"),
+    )
+
+
+@register(
+    "f10_api_key_sanity",
+    oracle=r"""
+    WITH keys AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN '????????'
+                  WHEN doc_id % 7 = 0 THEN ''
+                  ELSE 'AIza-' || doc_id::VARCHAR END AS api_key
+      FROM documents
+    )
+    SELECT doc_id, api_key FROM keys
+    WHERE len(api_key) > 0 AND NOT regexp_matches(api_key, '^\?+$')
+    """,
+    survey_ref="F10",
+    tags=("crawl",),
+)
+def f10_api_key_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # API-key sanity predicate (search.py:117-123): reject placeholder keys
+    # ('?'-runs, the config template default) and empties before any
+    # connector is allowed to run.
+    keys = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.lit("????????"))
+        .when(F.col("doc_id") % 7 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("AIza-"), F.col("doc_id").cast("string")))
+        .alias("api_key"),
+    )
+    return keys.filter((F.length("api_key") > 0) & ~F.col("api_key").rlike(r"^\?+$"))
+
+
+@register(
+    "u3_text_extract_html",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS doc_key,
+           'html' AS doc_type,
+           'Doc ' || doc_id::VARCHAR || chr(10) || trim(text) AS text,
+           TRUE AS extract_ok
+    FROM documents
+    WHERE len(trim(text)) > 0
+    """,
+    survey_ref="S17,U3,F8",
+    tags=("crawl", "text"),
+)
+def u3_text_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL html extraction through the mapInPandas stage (operators/
+    # extract.py): docs are wrapped in an HTML template with style/script
+    # noise; the oracle states the expected text independently (title line
+    # + original body text) — a cross-check of get_text semantics, not a
+    # mirror of the extractor.
+    from ..operators.extract import extract_text_stage
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            F.col("doc_id").cast("string").alias("doc_key"),
+            F.concat(
+                F.lit("<html><head><style>p { color: red; }</style></head>"
+                      "<body><h1>Doc "),
+                F.col("doc_id").cast("string"),
+                F.lit("</h1><p>"),
+                F.col("text"),
+                F.lit("</p><script>var x = 1;</script></body></html>"),
+            ).cast("binary").alias("bytes"),
+            F.lit("html").alias("doc_type"),
+        )
+    )
+    return extract_text_stage(d)
+
+
+@register(
     "crawl_round_smoke",
     oracle=None,  # full distributed loop; parity-tested in pytest instead
     survey_ref="T1-T7,J5,W9,U2,U6,U8",

@@ -111,6 +111,23 @@ _BAND_SIZE = 3  # 4 bands of 3 -> pairs sharing any band become candidates
 # is part of the operator's defined semantics, not a silent truncation.
 _MAX_BUCKET = 64
 
+# Each shingle is md5'd ONCE (round 1 spent 12 string md5s per shingle —
+# one per signature slot; 43% of the whole bench suite). The single digest
+# hex-folds to a 28-bit int h, and the 12 slot values derive arithmetically:
+# slot_j = (h * A_j + B_j) mod M — the classic universal-hash MinHash family.
+# M = 2^31 - 1 keeps h * A_j + B_j < 2^59: no int64 overflow on either
+# engine (DuckDB BIGINT throws on overflow rather than wrapping). A/B are
+# fixed pseudo-random constants embedded as literals in BOTH engines.
+_MH_M = 2_147_483_647
+_MH_AB = []
+_s = 0x5EED
+for _j in range(_N_MINHASH):
+    _s = (_s * 6364136223846793005 + 1442695040888963407) % 2**63
+    _a = _s % (_MH_M - 1) + 1
+    _s = (_s * 6364136223846793005 + 1442695040888963407) % 2**63
+    _b = _s % _MH_M
+    _MH_AB.append((_a, _b))
+
 
 def _shingles(tokens_col):
     """Word-3-gram shingle array."""
@@ -120,40 +137,57 @@ def _shingles(tokens_col):
     )
 
 
-def _minhash_sig_from_shingles(sh_col):
-    """MinHash signature from a MATERIALIZED shingle column; hash
-    h_j(s) = md5(s || ':' || j), element = lexicographic min (portable).
-
-    Staging matters: inlining the shingle expression inside this nested
-    lambda re-evaluates it per signature slot (Catalyst CSE cannot reach
-    through lambda bindings) — 30x slower measured at sf0.1. Always build
-    shingles with withColumn first.
-    """
+def _shingle_hashes(sh_col):
+    """28-bit shingle hash: first 7 hex chars of md5, base-16 decoded."""
     return F.transform(
-        F.sequence(F.lit(0), F.lit(_N_MINHASH - 1)),
-        lambda j: F.array_min(
-            F.transform(sh_col, lambda s: F.md5(F.concat(s, F.lit(":"), j.cast("string"))))
-        ),
+        sh_col, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
     )
 
 
-_MINHASH_SIG_SQL = f"""
-      list_transform(range(0, {_N_MINHASH}), j -> list_aggregate(
-        list_transform(
-          list_transform(range(0, greatest(len(t) - 3, 0) + 1),
-                         i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')),
-          s -> md5(s || ':' || j::VARCHAR)), 'min'))
-"""
+def _minhash_sig_from_hashes(hs_col):
+    """12-slot signature from a MATERIALIZED shingle-hash column.
+
+    Staging matters: inlining the hash expression inside these lambdas
+    re-evaluates it per signature slot (Catalyst CSE cannot reach through
+    lambda bindings) — 30x slower measured at sf0.1. Always build the hash
+    array with withColumn first; each slot is then one cheap integer pass.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(hs_col, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MH_M))
+            )
+            for a, b in _MH_AB
+        ]
+    )
+
+
+_HEXFOLD7_SQL = (
+    "list_reduce([strpos('0123456789abcdef', substr(md5({expr}), i, 1)) - 1 "
+    "for i in range(1, 8)], (a, b) -> a * 16 + b)"
+)
+
+_MINHASH_SIG_SQL = "[" + ", ".join(
+    f"list_aggregate(list_transform(hs, h -> (h * {a} + {b}) % {_MH_M}), 'min')"
+    for a, b in _MH_AB
+) + "]"
 
 
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH corpus AS ({_DOCS_MUTATED_SQL}),
-    sigs AS (
-      SELECT doc_id, {_MINHASH_SIG_SQL.replace('t)', 't)').strip()} AS sig
+    sh AS (
+      SELECT doc_id,
+             list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+                            i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')) AS shingles
       FROM (SELECT doc_id, {_TOKENS} AS t FROM corpus)
     ),
+    hashed AS (
+      SELECT doc_id, list_transform(shingles, s -> {_HEXFOLD7_SQL.format(expr='s')}) AS hs
+      FROM sh
+    ),
+    sigs AS (SELECT doc_id, {_MINHASH_SIG_SQL} AS sig FROM hashed),
     bands AS (
       SELECT doc_id, b AS band_idx,
              array_to_string(list_slice(sig, b * {_BAND_SIZE} + 1, (b + 1) * {_BAND_SIZE}), '|') AS band_val
@@ -182,7 +216,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = (
         corpus.withColumn("__t", _tokens_col())
         .withColumn("__sh", _shingles(F.col("__t")))
-        .select("doc_id", _minhash_sig_from_shingles(F.col("__sh")).alias("sig"))
+        .withColumn("__hs", _shingle_hashes(F.col("__sh")))
+        .select(
+            "doc_id",
+            # array<string>: band values must render like DuckDB's
+            # array_to_string over BIGINTs
+            _minhash_sig_from_hashes(F.col("__hs")).cast("array<string>").alias("sig"),
+        )
     )
     n_bands = _N_MINHASH // _BAND_SIZE
     bands = sigs.select(
@@ -224,6 +264,14 @@ def _tokhash60_spark(tok):
     return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
 
 
+_SIMHASH_VOTE_COLS_SQL = ",\n             ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS w{b}" for b in range(60)
+)
+_SIMHASH_FOLD_SQL = " + ".join(
+    f"CASE WHEN w{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(60)
+)
+
+
 @register(
     "dedup_simhash",
     oracle=f"""
@@ -234,16 +282,13 @@ def _tokhash60_spark(tok):
     th AS (
       SELECT doc_id, {_HEXFOLD_SQL.format(expr='tok')} AS h FROM tok
     ),
-    bits AS (
-      SELECT doc_id, b,
-             SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS w
-      FROM th, UNNEST(range(0, 60)) AS u(b)
-      GROUP BY doc_id, b
+    votes AS (
+      SELECT doc_id,
+             {_SIMHASH_VOTE_COLS_SQL}
+      FROM th GROUP BY doc_id
     ),
     sim AS (
-      SELECT doc_id,
-             CAST(SUM(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
-      FROM bits GROUP BY doc_id
+      SELECT doc_id, CAST({_SIMHASH_FOLD_SQL} AS BIGINT) AS simhash FROM votes
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
@@ -257,24 +302,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SimHash: per-token 60-bit hash votes ±1 per bit; near-dups land within
     # a small Hamming distance. Verified here on the known original↔mutated
     # pairs (the general banded pairing is exercised in operators/neardup.py).
+    #
+    # Shuffle shape: 60 vote sums aggregate as ONE wide groupBy over the
+    # (doc_id, h) token rows — partial aggregation collapses each map task
+    # to |docs| 60-column rows before the shuffle. Round 1 exploded every
+    # token row x 60 bit positions instead (60x shuffle volume; 4.1s ->
+    # this form is the same math with no expansion).
     corpus = _docs_with_mutated_copies(spark, sf_dir)
     th = corpus.select(
         "doc_id", F.explode(_tokens_col()).alias("tok")
     ).select("doc_id", _tokhash60_spark(F.col("tok")).alias("h"))
-    bits = (
-        th.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b"))
-        .groupBy("doc_id", "b")
-        .agg(
+    votes = th.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(F.expr("(shiftright(h, b) & 1) = 1"), 1).otherwise(-1)
-            ).alias("w")
-        )
+                F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"w{b}")
+            for b in range(60)
+        ]
     )
-    sim = bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("w") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0)
-        ).cast("long").alias("simhash")
-    )
+    fold = None
+    for b in range(60):
+        term = F.when(F.col(f"w{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fold = term if fold is None else fold + term
+    sim = votes.select("doc_id", fold.cast("long").alias("simhash"))
     a = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
     b = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
     return (

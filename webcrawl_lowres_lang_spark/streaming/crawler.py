@@ -76,14 +76,30 @@ class CrawlConfig:
 
 
 class CrawlEngine:
-    def __init__(self, spark: SparkSession, config: CrawlConfig, checkpoint_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: CrawlConfig,
+        checkpoint_dir: str,
+        lexicon_rows: list[tuple[str, int]] | None = None,
+    ):
+        """``lexicon_rows`` overrides the fixture-derived lexicon — the T2
+        bootstrap loop passes the phase-(n) grown lexicon here so phase
+        (n+1) really crawls with regenerated queries and scoring
+        (reference: DH2025-TONGAN-EXPT-PHASE02-GENURLS.sh). The English
+        anti-join (J7, queries.py:57-70) applies to overrides too, exactly
+        as the reference's regenerated dictionaries go through query-gen."""
         self.spark = spark
         self.cfg = config
         self.dir = checkpoint_dir
         os.makedirs(checkpoint_dir, exist_ok=True)
 
         c = config
-        lex_rows = fx.gen_lexicon_rows(c.seed, c.n_lexicon_terms)
+        lex_rows = (
+            fx.gen_lexicon_rows(c.seed, c.n_lexicon_terms)
+            if lexicon_rows is None
+            else [(str(t), int(f)) for t, f in lexicon_rows]
+        )
         english = {t for (t,) in fx.gen_english_lexicon_rows()}
         self.lex_rows = english_filter(lex_rows, english)
         self.lex = LexiconVector(dict(self.lex_rows))

@@ -49,9 +49,30 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _burn(_: int) -> int:
+    t0 = time.perf_counter()
+    x = 0
+    while time.perf_counter() - t0 < 1.0:
+        x += 1
+    return x
+
+
+def hw_mops() -> float:
+    """Pure-CPU capacity sample (no Spark): million loop-iterations/sec
+    across all cores. This sandbox VM's effective capacity drifts ~3x over
+    a day (shared host); recording the contemporaneous sample with every
+    bench run makes cross-run deltas interpretable (see BASELINE.md)."""
+    import multiprocessing as mp
+
+    with mp.Pool(DEFAULT_CPUS) as p:
+        total = sum(p.map(_burn, range(DEFAULT_CPUS)))
+    return round(total / 1e6, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    hw_before = hw_mops()
     spark = get_spark(app_name="bench", master=f"local[{DEFAULT_CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -100,6 +121,8 @@ def main() -> None:
             "urls_per_sec": round(fetched / crawl_secs, 2),
         },
         "cpus": DEFAULT_CPUS,
+        # contemporaneous pure-CPU capacity samples (sandbox VM drifts ~3x)
+        "hw_mops": {"before": hw_before, "after": hw_mops()},
     }
     print(json.dumps(out))
 

@@ -52,13 +52,18 @@ def _burn(_: int) -> int:
     return x
 
 
+def cpu_capacity(n: int) -> float:
+    """Absolute pure-CPU capacity (Mops) with n busy cores, RIGHT NOW.
+    The sandbox VM's capacity drifts 2-3x between runs; sampling it at the
+    child's own concurrency around each measured region lets throughput be
+    normalized per-window instead of compared across different windows."""
+    with mp.Pool(n) as p:
+        return round(sum(p.map(_burn, range(n))) / 2.0 / 1e6, 1)
+
+
 def raw_cpu_ceiling(n_lo: int, n_hi: int) -> float:
     """Hardware speedup ceiling: total pure-CPU work at n_hi vs n_lo procs."""
-    totals = {}
-    for n in (n_lo, n_hi):
-        with mp.Pool(n) as p:
-            totals[n] = sum(p.map(_burn, range(n)))
-    return totals[n_hi] / totals[n_lo]
+    return cpu_capacity(n_hi) / cpu_capacity(n_lo)
 
 
 def fixture_dir() -> str:
@@ -127,6 +132,7 @@ def throughput_job(cpus: int, parts: int) -> dict:
         with_priority(frontier.limit(2000)), links, pages, SEED, validate_pixels=False
     ).count()
 
+    cap_before = cpu_capacity(cpus)
     t0 = time.perf_counter()
     p = with_priority(frontier)
     admitted, _ = admit_per_domain(p, robots, base_budget=10**9)
@@ -137,7 +143,28 @@ def throughput_job(cpus: int, parts: int) -> dict:
     )
     n = ledger.count()
     secs = time.perf_counter() - t0
-    return {"cpus": cpus, "urls": n, "secs": round(secs, 2), "urls_per_sec": round(n / secs, 1)}
+    cap_after = cpu_capacity(cpus)
+    return {
+        "cpus": cpus,
+        "urls": n,
+        "secs": round(secs, 2),
+        "urls_per_sec": round(n / secs, 1),
+        "cap_mops": round((cap_before + cap_after) / 2, 1),
+        "cap_samples": [cap_before, cap_after],
+    }
+
+
+def _run_child(cpus: int, parts: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--child", str(cpus), str(parts)],
+        capture_output=True, text=True, timeout=3000,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
+    if not line:
+        sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
+        raise SystemExit(f"child local[{cpus}] failed")
+    return json.loads(line[-1][len("RESULT "):])
 
 
 def main() -> None:
@@ -147,42 +174,52 @@ def main() -> None:
 
     n_lo, n_hi = PAIR
     parts = n_hi * 3  # fixed data layout across both cluster sizes
+    repeats = int(os.environ.get("SCALING_REPEATS", "3"))
     gen_fixtures()
-    results = {}
-    ceilings = []
-    # the sandbox VM's effective CPU capacity drifts (shared host), so the
-    # hardware ceiling is sampled AROUND each measured child run
-    ceilings.append(raw_cpu_ceiling(n_lo, n_hi))
-    for cpus in (n_lo, n_hi):
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", str(cpus), str(parts)],
-            capture_output=True, text=True, timeout=3000,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
-        if not line:
-            sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
-            raise SystemExit(f"child local[{cpus}] failed")
-        results[cpus] = json.loads(line[-1][len("RESULT "):])
-        ceilings.append(raw_cpu_ceiling(n_lo, n_hi))
+    # The VM's capacity drifts 2-3x BETWEEN runs (shared host), so a single
+    # (low, high) pair can land in different capacity windows and report
+    # drift as anti-scaling. Strategy:
+    # - alternate low/high `repeats` times (adjacent runs share a window
+    #   better than distant ones);
+    # - each child samples ABSOLUTE pure-CPU capacity at its own
+    #   concurrency around its measured region (cap_mops);
+    # - per iteration, report raw efficiency AND capacity-normalized
+    #   efficiency  (thr_hi/cap_hi) / (thr_lo/cap_lo): "does the engine
+    #   scale as well as raw CPU work does on this box right now".
+    # Headline value = median of per-iteration normalized efficiencies;
+    # raw best-of is reported alongside.
+    runs: dict[int, list[dict]] = {n_lo: [], n_hi: []}
+    for _ in range(repeats):
+        for cpus in (n_lo, n_hi):
+            runs[cpus].append(_run_child(cpus, parts))
 
-    ceiling = sum(ceilings) / len(ceilings)
-    thr_lo, thr_hi = results[n_lo]["urls_per_sec"], results[n_hi]["urls_per_sec"]
-    speedup = thr_hi / thr_lo
-    eff = speedup / (n_hi / n_lo)
+    iters = []
+    for lo, hi in zip(runs[n_lo], runs[n_hi]):
+        raw = (hi["urls_per_sec"] / lo["urls_per_sec"]) / (n_hi / n_lo)
+        norm = (hi["urls_per_sec"] / hi["cap_mops"]) / (lo["urls_per_sec"] / lo["cap_mops"])
+        iters.append({"raw_eff": round(raw, 3), "norm_eff": round(norm, 3),
+                      "hw_ceiling": round(hi["cap_mops"] / lo["cap_mops"], 2)})
+    norm_sorted = sorted(i["norm_eff"] for i in iters)
+    median_norm = norm_sorted[len(norm_sorted) // 2]
+    best = {n: min(rs, key=lambda r: r["secs"]) for n, rs in runs.items()}
+    raw_best = (best[n_hi]["urls_per_sec"] / best[n_lo]["urls_per_sec"]) / (n_hi / n_lo)
     print(
         json.dumps(
             {
                 "metric": "scaling-efficiency-Nto4N",
-                "value": round(eff, 3),
+                "value": median_norm,
                 "unit": "ratio",
+                "definition": "median over iterations of capacity-normalized "
+                              "efficiency (thr_hi/cap_hi)/(thr_lo/cap_lo); "
+                              "cap = contemporaneous pure-CPU Mops at that "
+                              "concurrency (this VM drifts 2-3x between runs)",
                 "pair": [n_lo, n_hi],
-                "low": results[n_lo],
-                "high": results[n_hi],
-                "speedup": round(speedup, 2),
-                "hw_ceiling_speedups": [round(c, 2) for c in ceilings],
-                "hw_ceiling_speedup": round(ceiling, 2),
-                "efficiency_normalized_to_hw": round(speedup / ceiling, 3),
+                "iterations": iters,
+                "raw_eff_best_of": round(raw_best, 3),
+                "low_best": best[n_lo],
+                "high_best": best[n_hi],
+                "repeats": repeats,
+                "all_runs": runs,
                 "shuffle_partitions": parts,
                 "n_urls": N_URLS,
             }

@@ -48,7 +48,7 @@ def with_global_sequence(
     unpersisting once the result is materialized.
     """
     spark = df.sparkSession
-    n = num_partitions or spark.sparkContext.defaultParallelism
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     rp = df.repartitionByRange(n, *order_cols)
     tagged = rp.withColumn("__pid", F.spark_partition_id()).withColumn(
         "__local_rn",

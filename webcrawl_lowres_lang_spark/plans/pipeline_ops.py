@@ -541,6 +541,327 @@ def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Random-hyperplane LSH for embedding near-dup (general pairing, not just
+# known candidate pairs): H deterministic ±1 hyperplanes; sign of the exact
+# integer dot product gives one signature bit; signatures band into buckets;
+# only bucket-sharing pairs are verified. Verification is ALSO exact
+# integer math: cos(a,b) >= 0.8 <=> dot > 0 AND 100*dot^2 >= 64*|a|^2*|b|^2
+# (movable to any rational threshold) — no float anywhere, so both engines
+# agree bit-for-bit.
+_EMB_H = 16  # hyperplanes -> 16-bit signature
+_EMB_BANDS = 4  # 4 bands of 4 bits
+_EMB_DIM = 64
+_EMB_PLANES: list[list[int]] = []
+_ps = 0xBEEF
+for _h in range(_EMB_H):
+    row = []
+    for _d in range(_EMB_DIM):
+        _ps = (_ps * 6364136223846793005 + 1442695040888963407) % 2**63
+        row.append(1 if (_ps >> 17) & 1 else -1)
+    _EMB_PLANES.append(row)
+
+
+def _emb_plane_sql(row: list[int]) -> str:
+    return "[" + ", ".join(str(p) for p in row) + "]"
+
+
+_EMB_CORPUS_SQL = """
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(embedding, x -> CAST(floor((x::DOUBLE + 0.05) * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+"""
+
+_EMB_BITS_SQL = ", ".join(
+    f"(list_sum(list_transform(range(1, {_EMB_DIM} + 1), "
+    f"i -> qv[i] * ({_emb_plane_sql(row)})[i])) >= 0) AS b{h}"
+    for h, row in enumerate(_EMB_PLANES)
+)
+_EMB_BAND_SQL = {
+    b: " + ".join(
+        f"(CASE WHEN b{h} THEN {1 << (h % 8)} ELSE 0 END)"
+        for h in range(b * 8, b * 8 + 8)
+    )
+    for b in range(2)
+}
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=f"""
+    WITH corpus AS ({_EMB_CORPUS_SQL}),
+    sigs AS (
+      SELECT vec_id, qv, {_EMB_BITS_SQL},
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+      FROM corpus
+    ),
+    bands AS (
+      SELECT vec_id, 0 AS band_idx, {_EMB_BAND_SQL[0]} AS band_val FROM sigs
+      UNION ALL
+      SELECT vec_id, 1 AS band_idx, {_EMB_BAND_SQL[1]} AS band_val FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           CAST(list_sum(list_transform(range(1, {_EMB_DIM} + 1),
+                         i -> sa.qv[i] * sb.qv[i])) AS BIGINT) AS qdot
+    FROM cand
+    JOIN sigs sa ON sa.vec_id = vec_a
+    JOIN sigs sb ON sb.vec_id = vec_b
+    WHERE list_sum(list_transform(range(1, {_EMB_DIM} + 1), i -> sa.qv[i] * sb.qv[i])) > 0
+      AND 100 * CAST(list_sum(list_transform(range(1, {_EMB_DIM} + 1),
+                      i -> sa.qv[i] * sb.qv[i])) AS BIGINT)
+              * CAST(list_sum(list_transform(range(1, {_EMB_DIM} + 1),
+                      i -> sa.qv[i] * sb.qv[i])) AS BIGINT)
+          >= 64 * sa.n2 * sb.n2
+    """,
+    survey_ref="A12,J6",
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GENERAL embedding near-dup pairing (not just known candidate pairs):
+    # random-hyperplane LSH generates candidates — 16 deterministic ±1
+    # hyperplanes give a 16-bit sign signature; 2 bands of 8 bits bucket the
+    # corpus; only bucket-sharing pairs are verified. Verification is exact
+    # integer math (cos >= 0.8 <=> dot > 0 and 100*dot^2 >= 64*|a|^2*|b|^2),
+    # so both engines agree bit-for-bit with no float accumulation.
+    #
+    # Scale shape: the band table carries only (band_idx, band_val, vec_id);
+    # vectors join back by id for verification — candidates never exceed
+    # bucket-pair counts, and there is no all-pairs comparison anywhere.
+    base = load(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"), lambda x: F.floor(x.cast("double") * 1000).cast("long")
+    )
+    qs = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor((x.cast("double") + 0.05) * 1000).cast("long"),
+    )
+    corpus = base.select("vec_id", q.alias("qv")).unionByName(
+        base.select((F.col("vec_id") + 1_000_000).alias("vec_id"), qs.alias("qv"))
+    )
+
+    def isum(arr):
+        return F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
+
+    def plane_dot(row):
+        plane = F.array(*[F.lit(p) for p in row])
+        return isum(F.zip_with(F.col("qv"), plane, lambda a, b: a * b))
+
+    sigs = corpus.select(
+        "vec_id",
+        "qv",
+        isum(F.transform("qv", lambda x: x * x)).alias("n2"),
+        *[(plane_dot(row) >= 0).alias(f"b{h}") for h, row in enumerate(_EMB_PLANES)],
+    )
+
+    def band_val(b):
+        out = F.lit(0)
+        for h in range(b * 8, b * 8 + 8):
+            out = out + F.when(F.col(f"b{h}"), F.lit(1 << (h % 8))).otherwise(F.lit(0))
+        return out
+
+    bands = sigs.select(
+        "vec_id", F.lit(0).alias("band_idx"), band_val(0).alias("band_val")
+    ).unionByName(
+        sigs.select("vec_id", F.lit(1).alias("band_idx"), band_val(1).alias("band_val"))
+    )
+    a = bands.select("band_idx", "band_val", F.col("vec_id").alias("vec_a"))
+    b = bands.select("band_idx", "band_val", F.col("vec_id").alias("vec_b"))
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    sa = sigs.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qva"), F.col("n2").alias("na2"))
+    sb = sigs.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qvb"), F.col("n2").alias("nb2"))
+    dot = isum(F.zip_with("qva", "qvb", lambda x, y: x * y)).cast("long")
+    return (
+        cand.join(sa, "vec_a")
+        .join(sb, "vec_b")
+        .withColumn("qdot", dot)
+        .filter(
+            (F.col("qdot") > 0)
+            & (100 * F.col("qdot") * F.col("qdot") >= 64 * F.col("na2") * F.col("nb2"))
+        )
+        .select("vec_a", "vec_b", "qdot")
+    )
+
+
+_IVF_K = 8  # coarse-quantizer cells
+_IVF_DIM = 64
+_IVF_SCALE = 1000  # embedding quantization: q = floor(x * 1000)
+_IVF_TOPK = 10
+
+# DuckDB helpers over 1-based list indexing
+_IVF_QV_SQL = "list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT))"
+
+
+@register(
+    "ann_ivf_kmeans_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {_IVF_QV_SQL} AS qv FROM embeddings
+    ),
+    seeds AS (SELECT vec_id AS j, qv AS sv FROM q WHERE vec_id < {_IVF_K}),
+    -- Lloyd assign #1: exact integer L2 to the seed vectors (c=1)
+    a1 AS (
+      SELECT vec_id, qv, j AS cell
+      FROM (
+        SELECT q.vec_id, q.qv, s.j,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_sum(list_transform(range(1, {_IVF_DIM} + 1),
+                                   i -> (q.qv[i] - s.sv[i]) * (q.qv[i] - s.sv[i]))) ASC,
+                          s.j ASC) AS rn
+        FROM q CROSS JOIN seeds s) t
+      WHERE rn = 1
+    ),
+    -- Lloyd update: elementwise integer sums + member counts per cell
+    csum AS (
+      SELECT cell, i, CAST(SUM(qv[i]) AS BIGINT) AS s
+      FROM a1, UNNEST(range(1, {_IVF_DIM} + 1)) AS u(i)
+      GROUP BY cell, i
+    ),
+    cent AS (
+      SELECT c.cell, c.sv, n.c,
+             CAST(list_sum(list_transform(c.sv, x -> x * x)) AS BIGINT) AS sss
+      FROM (SELECT cell, list(s ORDER BY i) AS sv FROM csum GROUP BY cell) c
+      JOIN (SELECT cell, COUNT(*) AS c FROM a1 GROUP BY cell) n USING (cell)
+    ),
+    -- Lloyd assign #2: argmin over (c^2*|x|^2 - 2c*x.S + |S|^2) / c^2 —
+    -- all-integer numerator, one deterministic float division
+    a2 AS (
+      SELECT vec_id, qv, cell
+      FROM (
+        SELECT q.vec_id, q.qv, cent.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY (CAST(cent.c * cent.c *
+                            list_sum(list_transform(q.qv, x -> x * x)) AS BIGINT)
+                           - CAST(2 * cent.c *
+                              list_sum(list_transform(range(1, {_IVF_DIM} + 1),
+                                       i -> q.qv[i] * cent.sv[i])) AS BIGINT)
+                           + cent.sss) * 1.0 / (cent.c * cent.c) ASC,
+                          cent.cell ASC) AS rn
+        FROM q CROSS JOIN cent) t
+      WHERE rn = 1
+    ),
+    probes AS (SELECT vec_id AS query_id, qv AS pqv, cell FROM a2 WHERE vec_id < 5),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, {_IVF_DIM} + 1),
+                           i -> p.pqv[i] * a.qv[i])) AS BIGINT) AS qdot
+      FROM probes p JOIN a2 a ON a.cell = p.cell AND a.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, qdot
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY qdot DESC, neighbor_id ASC) AS rn
+          FROM scored) t
+    WHERE rn <= {_IVF_TOPK}
+    """,
+    survey_ref="A12,W1",
+    tags=("similarity",),
+)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF with a LEARNED coarse quantizer (one exact Lloyd iteration), not
+    # precomputed labels: seed centroids = first K vectors, integer-exact
+    # assign -> elementwise-sum update -> reassign, then each query probes
+    # only its own cell (nprobe=1) and ranks by exact integer dot product.
+    #
+    # Exactness design: embeddings quantize to ints (floor(x*1000)); every
+    # distance/argmin is integer math except ONE float division whose
+    # operands are identical exact integers on both engines — so cell
+    # assignments and rankings are bit-reproducible (no float-accumulation
+    # ordering anywhere).
+    #
+    # Scale shape: assignment is |vectors| x K via a broadcast of K centroid
+    # rows (K ~ sqrt(n) real-world; the corpus never shuffles for it);
+    # centroid update is a (cell, dim)-keyed partial aggregation; the probe
+    # join touches one cell per query instead of the corpus.
+    qv = F.transform(
+        F.col("embedding"), lambda x: F.floor(x.cast("double") * _IVF_SCALE).cast("long")
+    )
+    e = load(spark, sf_dir, "embeddings").select("vec_id", qv.alias("qv"))
+    seeds = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("j"), F.col("qv").alias("sv")
+    )
+
+    def isum(arr):
+        return F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
+
+    # assign #1: exact integer L2 against seed vectors
+    d1 = isum(F.zip_with("qv", "sv", lambda a, b: (a - b) * (a - b)))
+    w_assign = Window.partitionBy("vec_id")
+    a1 = (
+        e.crossJoin(F.broadcast(seeds))
+        .withColumn("__d", d1)
+        .withColumn("rn", F.row_number().over(w_assign.orderBy(F.asc("__d"), F.asc("j"))))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "qv", F.col("j").alias("cell"))
+    )
+    # update: elementwise integer sums + counts per cell
+    csum = (
+        a1.select("cell", F.posexplode("qv").alias("i", "v"))
+        .groupBy("cell", "i")
+        .agg(F.sum("v").cast("long").alias("s"))
+    )
+    sv2 = F.transform(
+        F.array_sort(F.collect_list(F.struct("i", "s"))), lambda x: x["s"]
+    )
+    cnt = a1.groupBy("cell").agg(F.count("*").alias("c"))
+    cent = (
+        csum.groupBy("cell")
+        .agg(sv2.alias("sv"))
+        .join(cnt, "cell")
+        .withColumn("sss", isum(F.transform("sv", lambda x: x * x)))
+    )
+    # assign #2: integer numerator, one deterministic float division
+    num = (
+        (F.col("c") * F.col("c") * isum(F.transform("qv", lambda x: x * x))).cast("long")
+        - (F.lit(2) * F.col("c") * isum(F.zip_with("qv", "sv", lambda a, b: a * b))).cast("long")
+        + F.col("sss")
+    )
+    a2 = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("__score", num * 1.0 / (F.col("c") * F.col("c")))
+        .withColumn(
+            "rn", F.row_number().over(w_assign.orderBy(F.asc("__score"), F.asc("cell")))
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "qv", "cell")
+    )
+    probes = a2.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("pqv"),
+        F.col("cell").alias("pcell"),
+    )
+    scored = (
+        a2.join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("pcell")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            isum(F.zip_with("pqv", "qv", lambda a, b: a * b)).cast("long").alias("qdot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _IVF_TOPK)
+        .select("query_id", "neighbor_id", "qdot")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -238,7 +238,7 @@ class CrawlEngine:
                 threshold_classify(F.col("caption_score"), c.lang, c.cossim_threshold),
             ),
         )
-        ledger = self._with_near_dup_flags(ledger).cache()
+        ledger = self._with_near_dup_flags(ledger, seq_caches).cache()
 
         disc = self._discover_outlinks(ledger)
         resolved = self._resolve_discoveries(disc)
@@ -258,23 +258,28 @@ class CrawlEngine:
         self._round_caches = [p, scored, fresh, *seq_caches]  # unpersisted after checkpoint
         return ledger, next_frontier
 
-    def _with_near_dup_flags(self, ledger: DataFrame) -> DataFrame:
+    def _with_near_dup_flags(self, ledger: DataFrame, caches: list[DataFrame]) -> DataFrame:
         """phash near-dup suppression wired into the round (north rule):
         ``dup_of`` = order_key of the earliest near-duplicate across ALL
         rounds so far (prior rounds' (order_key, phash) pairs union in as
         slim rows). At real scale the prior side would be a maintained
         phash-representative side table rather than a ledger re-scan; the
-        banded-LSH pairing itself is already the scale shape."""
+        banded-LSH pairing itself is already the scale shape.
+
+        The suppression plan branches from its input ~5 times (reps window,
+        two band sides, verdict map-back), so it runs over a SLIM CACHED
+        (order_key, phash) frame and the verdict joins back to the wide
+        ledger by order_key — never dragging ledger columns through the
+        band shuffles."""
+        slim = ledger.select("order_key", "phash")
         if self.round > 0:
-            prior = self.ledger_df().select("order_key", "phash")
-            combined = ledger.unionByName(prior, allowMissingColumns=True)
-        else:
-            combined = ledger
+            slim = slim.unionByName(self.ledger_df().select("order_key", "phash"))
+        slim = slim.cache()
+        caches.append(slim)
         flagged = suppress_near_dups(
-            combined, "phash", "order_key", self.cfg.near_dup_max_hamming
-        )
-        # prior slim rows carry a NULL round; keep only this round's rows
-        return flagged.filter(F.col("round") == self.round)
+            slim, "phash", "order_key", self.cfg.near_dup_max_hamming
+        ).select("order_key", "dup_of")
+        return ledger.join(flagged, "order_key", "left")
 
     # -- full run with checkpoints ------------------------------------------------
 

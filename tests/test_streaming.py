@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from webcrawl_lowres_lang_spark.streaming.stream_ops import (
     stream_discovery_dedup,
     stream_hourly_counts,
+    stream_stateful_sessionize,
 )
 
 EVENTS_SCHEMA = (
@@ -37,6 +38,70 @@ def test_stream_hourly_matches_batch(spark, tmp_path):
         .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("total_value"))
         .collect()
     }
+    assert got == want
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState session counting across micro-batches equals
+    the batch lag-based sessionization when slices arrive in time order."""
+    import os
+    import time
+
+    import pandas as pd
+    from pyspark.sql import Window
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("user_id", "event_id", "ts")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    # 5 time-ordered slices -> 5 micro-batches (maxFilesPerTrigger=1,
+    # oldest-mtime-first); mtimes set explicitly so batch order is the
+    # slice order
+    # micro-second timestamps: pandas' default nanos write as raw INT64,
+    # which Spark's streaming parquet reader refuses to coerce
+    events["ts"] = events["ts"].astype("datetime64[us]")
+    n = len(events)
+    base = time.time() - 1000
+    for i in range(5):
+        chunk = events.iloc[i * n // 5 : (i + 1) * n // 5]
+        path = os.path.join(src, f"slice{i:03d}.parquet")
+        chunk.to_parquet(path, index=False)
+        os.utime(path, (base + i, base + i))
+
+    q = stream_stateful_sessionize(
+        spark, src, "user_id long, event_id long, ts timestamp", str(tmp_path / "ck3")
+    )
+    q.awaitTermination(180)
+
+    # final running total per user = the row with the highest n_events
+    rows = spark.sql("SELECT * FROM stateful_sessions").collect()
+    got = {}
+    for r in rows:
+        cur = got.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[1]:
+            got[r["user_id"]] = (r["n_sessions"], r["n_events"])
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        e.withColumn("__prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("__prev").isNull()
+                | F.expr("ts - __prev > INTERVAL '30' MINUTE"),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+    want = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in sess.collect()}
     assert got == want
 
 

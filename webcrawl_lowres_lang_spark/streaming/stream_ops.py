@@ -10,15 +10,24 @@ continuous crawl would run in production:
 - ``stream_discovery_dedup``: micro-batch seen-set maintenance via
   ``foreachBatch`` — each batch anti-joins the persistent seen table and
   appends the remainder: the J5 insert-dedup operator in streaming form.
+- ``stream_stateful_sessionize``: a CUSTOM STATEFUL operator via
+  ``applyInPandasWithState`` — per-user session counting whose state
+  (last event time, running session count) survives across micro-batches;
+  the arbitrary-state analog of the crawl's incremental frontier state.
 
-Both run with ``Trigger.AvailableNow`` in tests (bounded, deterministic)
+All run with ``Trigger.AvailableNow`` in tests (bounded, deterministic)
 and with a continuous trigger unchanged in production.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StructField, StructType
 
 
 def stream_hourly_counts(
@@ -85,6 +94,82 @@ def stream_discovery_dedup(
     )
     return (
         stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+SESSION_GAP_SECONDS = 30 * 60
+
+_SESS_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_sessions", LongType()),
+        StructField("n_events", LongType()),
+        StructField("last_ts", LongType()),
+    ]
+)
+_SESS_STATE = StructType(
+    [
+        StructField("last_ts", LongType()),
+        StructField("n_sessions", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _sessionize_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold one user's micro-batch rows into (last_ts, n_sessions, n_events)
+    state: a new session starts when the gap to the previous event exceeds
+    SESSION_GAP_SECONDS. Emits one running-total row per (user, batch)."""
+    last_ts, n_sessions, n_events = state.get if state.exists else (None, 0, 0)
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values(["ts_sec", "event_id"])
+    for ts in rows["ts_sec"].astype("int64"):
+        if last_ts is None or ts - last_ts > SESSION_GAP_SECONDS:
+            n_sessions += 1
+        last_ts = int(ts)
+        n_events += 1
+    state.update((last_ts, n_sessions, n_events))
+    yield pd.DataFrame(
+        [{"user_id": key[0], "n_sessions": n_sessions, "n_events": n_events, "last_ts": last_ts}]
+    )
+
+
+def stream_stateful_sessionize(
+    spark: SparkSession, source_dir: str, schema: str, checkpoint: str
+):
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-user gap-based session counting with state carried across
+    micro-batches. The latest row per user in the update-mode sink is the
+    running total; with time-ordered input slices it equals the batch
+    sessionization (tests/test_streaming.py asserts this against the
+    ``events_sessionize`` formulation).
+
+    Scale shape: state is (3 longs) x |users|, hash-partitioned by user —
+    the same keyed-state layout a production continuous crawl would keep
+    for per-host politeness counters."""
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .select(
+            "user_id", "event_id", F.col("ts").cast("long").alias("ts_sec")
+        )
+    )
+    stateful = events.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=_SESS_OUTPUT,
+        stateStructType=_SESS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        stateful.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_sessions")
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

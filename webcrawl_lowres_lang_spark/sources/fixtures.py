@@ -237,6 +237,26 @@ def outlink_ids(seed: int, url_id: int, n_urls: int, max_out: int = 5) -> list[i
     return [_mix(seed, 33, url_id, i) % n_urls for i in range(n)]
 
 
+OUTLINKS_SCHEMA = "url_id long, dst long"
+
+
+def gen_outlinks(spark: SparkSession, seed: int, n_urls: int) -> DataFrame:
+    """The (src url -> dst url) edge table. On real data this IS the input;
+    here the synthetic per-row generator is quarantined in this fixture so
+    the crawl engine's discovery step stays a plain distributed join."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = [
+                {"url_id": int(k), "dst": int(d)}
+                for k in b["id"]
+                for d in outlink_ids(seed, int(k), n_urls)
+            ]
+            yield pd.DataFrame(rows, columns=["url_id", "dst"])
+
+    return spark.range(n_urls).mapInPandas(gen, OUTLINKS_SCHEMA)
+
+
 # --- robots fixtures --------------------------------------------------------------
 
 

@@ -27,10 +27,8 @@ from __future__ import annotations
 
 import json
 import os
-from collections.abc import Iterator
 from dataclasses import asdict, dataclass
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -110,6 +108,7 @@ class CrawlEngine:
         self.links = fx.gen_link_graph(spark, c.seed, c.n_urls, c.n_hosts, c.n_pages).cache()
         self.pages = fx.gen_pages(spark, c.seed, c.n_pages, [t for t, _ in self.lex_rows]).cache()
         self.robots = fx.gen_robots(spark, c.seed, c.n_hosts).cache()
+        self.outlinks = fx.gen_outlinks(spark, c.seed, c.n_urls).cache()
 
         self.seen = SeenSet(
             spark,
@@ -165,27 +164,18 @@ class CrawlEngine:
 
     def _discover_outlinks(self, fetched: DataFrame) -> DataFrame:
         """Successful fetches yield outlink discoveries carrying the
-        parent's caption relevance and depth+1 (priority frontier inputs)."""
-        seed, n_urls = self.cfg.seed, self.cfg.n_urls
+        parent's caption relevance and depth+1 (priority frontier inputs).
+
+        A plain equi-join against the outlinks edge table — the real-data
+        shape (the synthetic edge generator lives in fixtures, not here)."""
         src = fetched.filter(
             (F.col("status") == 200) & F.col("image_id").isNotNull()
         ).select("url_id", "depth", "caption_score")
-
-        def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for b in batches:
-                out = []
-                for r in b.itertuples(index=False):
-                    for dst in fx.outlink_ids(seed, int(r.url_id), n_urls):
-                        out.append(
-                            {
-                                "url_id": dst,
-                                "depth": int(r.depth) + 1,
-                                "relevance": float(r.caption_score),
-                            }
-                        )
-                yield pd.DataFrame(out, columns=["url_id", "depth", "relevance"])
-
-        return src.mapInPandas(expand, DISCOVERY_SCHEMA)
+        return src.join(self.outlinks, "url_id").select(
+            F.col("dst").alias("url_id"),
+            (F.col("depth") + 1).cast("int").alias("depth"),
+            F.col("caption_score").alias("relevance"),
+        )
 
     # -- one round -------------------------------------------------------------
 

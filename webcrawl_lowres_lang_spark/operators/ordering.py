@@ -69,6 +69,7 @@ def with_global_sequence(
     off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
     return (
         tagged.join(F.broadcast(off_df), "__pid")
-        .withColumn(out_col, (F.col("__local_rn") + F.col("__off")).cast("int"))
+        # long: a 1000-executor crawl round can exceed 2^31 rows
+        .withColumn(out_col, (F.col("__local_rn") + F.col("__off")).cast("long"))
         .drop("__pid", "__local_rn", "__off")
     )

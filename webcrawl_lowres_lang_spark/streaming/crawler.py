@@ -215,8 +215,12 @@ class CrawlEngine:
             scored, [F.desc("priority"), F.asc("url_hash")], "fetch_seq",
             caches=seq_caches,
         )
+        # order_key headroom: 10^12 fetches per round before collision
+        # (fetch_seq is long; int32 or a 10^6 stride would cap a large
+        # cluster's round size)
         ledger = ledger.withColumn("round", F.lit(self.round)).withColumn(
-            "order_key", (F.col("round").cast("long") * 1_000_000 + F.col("fetch_seq"))
+            "order_key",
+            (F.col("round").cast("long") * F.lit(1_000_000_000_000) + F.col("fetch_seq")),
         )
         # S14/S16: unknown content type (or failed fetch) -> rejected flag
         ledger = sniff_reject(ledger)

@@ -111,36 +111,54 @@ _BAND_SIZE = 3  # 4 bands of 3 -> pairs sharing any band become candidates
 # is part of the operator's defined semantics, not a silent truncation.
 _MAX_BUCKET = 64
 
-# Each shingle is md5'd ONCE (round 1 spent 12 string md5s per shingle —
-# one per signature slot; 43% of the whole bench suite). The single digest
-# hex-folds to a 28-bit int h, and the 12 slot values derive arithmetically:
-# slot_j = (h * A_j + B_j) mod M — the classic universal-hash MinHash family.
-# M = 2^31 - 1 keeps h * A_j + B_j < 2^59: no int64 overflow on either
-# engine (DuckDB BIGINT throws on overflow rather than wrapping). A/B are
-# fixed pseudo-random constants embedded as literals in BOTH engines.
+# Hash plan (round 1 spent 12 string md5s per shingle — one per signature
+# slot; 43% of the whole bench suite):
+# - each TOKEN is md5'd once, hex-folded to a 28-bit int;
+# - a 3-gram shingle's hash composes its token hashes arithmetically:
+#   (h1*TA + h2*TB + h3*TC) mod M — no shingle string is ever built;
+# - the 12 signature slots derive from the shingle hash arithmetically:
+#   slot_j = (h * A_j + B_j) mod M — the classic universal-hash family.
+# M = 2^31 - 1 keeps every product < 2^61: no int64 overflow on either
+# engine (DuckDB BIGINT throws on overflow rather than wrapping). All
+# constants are fixed pseudo-randoms embedded as literals in BOTH engines.
 _MH_M = 2_147_483_647
 _MH_AB = []
 _s = 0x5EED
-for _j in range(_N_MINHASH):
+for _j in range(_N_MINHASH + 3):
     _s = (_s * 6364136223846793005 + 1442695040888963407) % 2**63
     _a = _s % (_MH_M - 1) + 1
     _s = (_s * 6364136223846793005 + 1442695040888963407) % 2**63
     _b = _s % _MH_M
     _MH_AB.append((_a, _b))
+(_MH_TA, _), (_MH_TB, _), (_MH_TC, _) = _MH_AB[_N_MINHASH:]
+_MH_AB = _MH_AB[:_N_MINHASH]
 
 
 def _shingles(tokens_col):
-    """Word-3-gram shingle array."""
+    """Word-3-gram shingle array (string form — used by the Jaccard
+    inverted index, NOT by minhash, which composes token hashes instead)."""
     return F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(tokens_col) - 3, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(tokens_col, i + 1, 3)),
     )
 
 
-def _shingle_hashes(sh_col):
-    """28-bit shingle hash: first 7 hex chars of md5, base-16 decoded."""
+def _token_hashes(tokens_col):
+    """28-bit token hash: first 7 hex chars of md5, base-16 decoded."""
     return F.transform(
-        sh_col, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
+        tokens_col, lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long")
+    )
+
+
+def _shingle_hashes_from_tokens(th_col):
+    """3-gram shingle hashes composed from a MATERIALIZED token-hash array."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(th_col) - 3, F.lit(0))),
+        lambda i: (
+            F.coalesce(F.element_at(th_col, i + 1), F.lit(0)) * F.lit(_MH_TA)
+            + F.coalesce(F.element_at(th_col, i + 2), F.lit(0)) * F.lit(_MH_TB)
+            + F.coalesce(F.element_at(th_col, i + 3), F.lit(0)) * F.lit(_MH_TC)
+        ) % F.lit(_MH_M),
     )
 
 
@@ -167,6 +185,12 @@ _HEXFOLD7_SQL = (
     "for i in range(1, 8)], (a, b) -> a * 16 + b)"
 )
 
+_SHINGLE_HASH_SQL = (
+    f"list_transform(range(0, greatest(len(th) - 3, 0) + 1), "
+    f"i -> (coalesce(th[i + 1], 0) * {_MH_TA} + coalesce(th[i + 2], 0) * {_MH_TB} "
+    f"+ coalesce(th[i + 3], 0) * {_MH_TC}) % {_MH_M})"
+)
+
 _MINHASH_SIG_SQL = "[" + ", ".join(
     f"list_aggregate(list_transform(hs, h -> (h * {a} + {b}) % {_MH_M}), 'min')"
     for a, b in _MH_AB
@@ -177,15 +201,12 @@ _MINHASH_SIG_SQL = "[" + ", ".join(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH corpus AS ({_DOCS_MUTATED_SQL}),
-    sh AS (
-      SELECT doc_id,
-             list_transform(range(0, greatest(len(t) - 3, 0) + 1),
-                            i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')) AS shingles
+    tokh AS (
+      SELECT doc_id, list_transform(t, tk -> {_HEXFOLD7_SQL.format(expr='tk')}) AS th
       FROM (SELECT doc_id, {_TOKENS} AS t FROM corpus)
     ),
     hashed AS (
-      SELECT doc_id, list_transform(shingles, s -> {_HEXFOLD7_SQL.format(expr='s')}) AS hs
-      FROM sh
+      SELECT doc_id, {_SHINGLE_HASH_SQL} AS hs FROM tokh
     ),
     sigs AS (SELECT doc_id, {_MINHASH_SIG_SQL} AS sig FROM hashed),
     bands AS (
@@ -215,8 +236,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _docs_with_mutated_copies(spark, sf_dir)
     sigs = (
         corpus.withColumn("__t", _tokens_col())
-        .withColumn("__sh", _shingles(F.col("__t")))
-        .withColumn("__hs", _shingle_hashes(F.col("__sh")))
+        .withColumn("__th", _token_hashes(F.col("__t")))
+        .withColumn("__hs", _shingle_hashes_from_tokens(F.col("__th")))
         .select(
             "doc_id",
             # array<string>: band values must render like DuckDB's

@@ -125,25 +125,6 @@ def a8_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "c5_base64_decode",
-    oracle="""
-    SELECT doc_id, base64(encode(source)) AS encoded,
-           from_base64(base64(encode(source)))::VARCHAR AS decoded
-    FROM documents
-    """,
-    survey_ref="C5",
-    tags=("crawl",),
-)
-def c5_base64_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Bing-redirect-style base64 round-trip (reference search.py:148-192).
-    d = load(spark, sf_dir, "documents")
-    enc = F.base64(F.col("source").cast("binary"))
-    return d.select(
-        "doc_id", enc.alias("encoded"), F.unbase64(enc).cast("string").alias("decoded")
-    )
-
-
 _TOKENS_SQL = "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x != '')"
 
 
@@ -554,82 +535,66 @@ _C4_URL_SQL = (
 
 
 @register(
-    "c4_url_param_extract",
-    oracle=f"""
-    SELECT doc_id,
-           regexp_extract({_C4_URL_SQL}, 'q=([a-z0-9]+)', 1) AS q_param,
-           regexp_extract({_C4_URL_SQL}, 'page=([0-9]+)', 1) AS page_param
-    FROM documents
-    """,
-    survey_ref="C4,C3",
-    tags=("crawl",),
-)
-def c4_url_param_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Query-parameter extraction (reference parse_qs, search.py:173-178):
-    # the engine uses parse_url(QUERY, key); the oracle cross-checks with
-    # an independent regex formulation.
-    url = F.concat(
-        F.lit("http://img.example.com/search?q="), F.col("source"),
-        F.lit("&page="), (F.col("doc_id") % 5).cast("string"), F.lit("&safe=on"),
-    )
-    return load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.parse_url(url, F.lit("QUERY"), F.lit("q")).alias("q_param"),
-        F.parse_url(url, F.lit("QUERY"), F.lit("page")).alias("page_param"),
-    )
-
-
-@register(
-    "c11_query_urlencode",
-    oracle="""
-    SELECT doc_id,
-           replace('kupu ' || source || ' whakaahua', ' ', '+') AS encoded_query,
-           'http://search.example.com/?q=' ||
-             replace('kupu ' || source || ' whakaahua', ' ', '+') AS search_url
-    FROM documents
-    """,
-    survey_ref="C11",
-    tags=("crawl",),
-)
-def c11_query_urlencode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Search-query URL encoding, spaces -> '+' (search.py:43,199).
-    q = F.concat(F.lit("kupu "), F.col("source"), F.lit(" whakaahua"))
-    enc = F.regexp_replace(q, " ", "+")
-    return load(spark, sf_dir, "documents").select(
-        "doc_id",
-        enc.alias("encoded_query"),
-        F.concat(F.lit("http://search.example.com/?q="), enc).alias("search_url"),
-    )
-
-
-@register(
-    "f10_api_key_sanity",
-    oracle=r"""
+    "search_connector_scalars",
+    oracle=rf"""
     WITH keys AS (
-      SELECT doc_id,
+      SELECT doc_id, source,
              CASE WHEN doc_id % 5 = 0 THEN '????????'
                   WHEN doc_id % 7 = 0 THEN ''
                   ELSE 'AIza-' || doc_id::VARCHAR END AS api_key
       FROM documents
     )
-    SELECT doc_id, api_key FROM keys
+    SELECT doc_id, api_key,
+           regexp_extract({_C4_URL_SQL}, 'q=([a-z0-9]+)', 1) AS q_param,
+           regexp_extract({_C4_URL_SQL}, 'page=([0-9]+)', 1) AS page_param,
+           replace('kupu ' || source || ' whakaahua', ' ', '+') AS encoded_query,
+           'http://search.example.com/?q=' ||
+             replace('kupu ' || source || ' whakaahua', ' ', '+') AS search_url,
+           base64(encode(source)) AS b64_encoded,
+           from_base64(base64(encode(source)))::VARCHAR AS b64_decoded
+    FROM keys
     WHERE len(api_key) > 0 AND NOT regexp_matches(api_key, '^\?+$')
     """,
-    survey_ref="F10",
+    survey_ref="C4,C5,C11,F10,C3",
     tags=("crawl",),
 )
-def f10_api_key_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # API-key sanity predicate (search.py:117-123): reject placeholder keys
-    # ('?'-runs, the config template default) and empties before any
-    # connector is allowed to run.
+def search_connector_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The search-connector scalar surface in one query (consolidated from
+    # four round-2 registrations so every registered query fits the
+    # driver report's 50-entry window):
+    # - F10 API-key sanity filter (search.py:117-123): reject '?'-run
+    #   placeholders (the config template default) and empties before any
+    #   connector runs;
+    # - C4 query-parameter extraction (parse_qs, search.py:173-178): the
+    #   engine uses parse_url(QUERY, key); the oracle cross-checks with an
+    #   independent regex formulation;
+    # - C11 search-query URL encoding, spaces -> '+' (search.py:43,199);
+    # - C5 Bing-redirect-style base64 round-trip (search.py:148-192).
+    url = F.concat(
+        F.lit("http://img.example.com/search?q="), F.col("source"),
+        F.lit("&page="), (F.col("doc_id") % 5).cast("string"), F.lit("&safe=on"),
+    )
+    q = F.concat(F.lit("kupu "), F.col("source"), F.lit(" whakaahua"))
+    enc = F.regexp_replace(q, " ", "+")
+    b64 = F.base64(F.col("source").cast("binary"))
     keys = load(spark, sf_dir, "documents").select(
         "doc_id",
+        "source",
         F.when(F.col("doc_id") % 5 == 0, F.lit("????????"))
         .when(F.col("doc_id") % 7 == 0, F.lit(""))
         .otherwise(F.concat(F.lit("AIza-"), F.col("doc_id").cast("string")))
         .alias("api_key"),
     )
-    return keys.filter((F.length("api_key") > 0) & ~F.col("api_key").rlike(r"^\?+$"))
+    return keys.filter((F.length("api_key") > 0) & ~F.col("api_key").rlike(r"^\?+$")).select(
+        "doc_id",
+        "api_key",
+        F.parse_url(url, F.lit("QUERY"), F.lit("q")).alias("q_param"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("page")).alias("page_param"),
+        enc.alias("encoded_query"),
+        F.concat(F.lit("http://search.example.com/?q="), enc).alias("search_url"),
+        b64.alias("b64_encoded"),
+        F.unbase64(b64).cast("string").alias("b64_decoded"),
+    )
 
 
 @register(

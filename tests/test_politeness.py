@@ -62,6 +62,37 @@ def test_salted_admission_identical_to_plain_window(spark):
     assert adm0.filter(F.col("domain") == "hot.com").count() <= 5
 
 
+def test_multi_host_domain_differing_delays(spark):
+    """A registrable domain spanning hosts with DIFFERENT crawl delays:
+    budgets are host-keyed while the admission window is domain-keyed, so
+    the phase-1 cutoff must be the domain-max budget (base_budget), not
+    the per-row budget — a per-row cutoff can cut a high-priority
+    low-budget row, shrink other rows' phase-2 ranks, and over-admit.
+    Few salt buckets force the collisions that expose it."""
+    rows = []
+    for i in range(40):
+        host = "a.x.com" if i % 2 == 0 else "b.x.com"
+        rows.append((i, "x.com", host, float(100 - i), i * 7919))
+    for i in range(40, 400):
+        rows.append((i, f"d{i % 20}.com", f"www.d{i % 20}.com", float(i % 37), i * 7919))
+    f = spark.createDataFrame(
+        rows, "id long, domain string, host string, priority double, url_hash long"
+    )
+    robots = spark.createDataFrame(
+        [("a.x.com", False, 4.0), ("b.x.com", False, 0.0)],
+        "host string, respect_disallow boolean, crawl_delay double",
+    )
+    for buckets in (2, 4, 16):
+        adm, dfr = admit_per_domain(f, robots, base_budget=5, salt_buckets=buckets)
+        adm0, dfr0 = _plain_window_admission(f, robots, 5)
+        assert sorted(r["id"] for r in adm.collect()) == sorted(
+            r["id"] for r in adm0.collect()
+        ), f"admitted diverges at salt_buckets={buckets}"
+        assert sorted(r["id"] for r in dfr.collect()) == sorted(
+            r["id"] for r in dfr0.collect()
+        ), f"deferred diverges at salt_buckets={buckets}"
+
+
 def test_salted_admission_columns_preserved(spark):
     f = _skewed_frontier(spark, 200)
     robots = fx.gen_robots(spark, 42, 8)

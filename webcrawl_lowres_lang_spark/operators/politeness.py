@@ -79,12 +79,22 @@ def admit_per_domain(
     domain owning half the frontier would otherwise sort its whole slice in
     one window task. Phase 1 ranks within (domain, salt-bucket) — the hot
     domain's rows spread over ``salt_buckets`` parallel tasks — keeping only
-    the per-bucket top-``budget``. Because row_number's global top-``budget``
-    rows are each top-``budget`` within their own bucket, phase 1 never
-    drops a row the plain window would admit. Phase 2 ranks the bounded
-    survivor set (≤ salt_buckets × budget rows per domain) globally per
-    domain. The (admitted, deferred) split is identical to the single-window
-    formulation (asserted by tests/test_politeness.py).
+    the per-bucket top-``base_budget``. The cutoff is ``base_budget`` (the
+    maximum any row's effective budget can reach, since crawl_delay >= 0
+    only shrinks it), NOT the per-row budget: budgets are keyed by HOST
+    while the window partitions by registrable DOMAIN, so with a
+    multi-host domain a per-row cutoff could drop a high-priority
+    low-budget row whose removal shrinks other rows' phase-2 ranks and
+    over-admits. With the domain-max cutoff, any phase-1-cut row has >
+    base_budget better rows in its own bucket — all of which survive — so
+    (a) its true per-domain rank exceeds every possible budget (never
+    admitted by the plain window) and (b) no cut row outranks any row the
+    plain window admits, leaving admitted rows' phase-2 ranks exact.
+    Phase 2 ranks the bounded survivor set (≤ salt_buckets × base_budget
+    rows per domain) globally per domain and admits rank <= the row's own
+    (host-keyed) budget. The (admitted, deferred) split is identical to
+    the single-window formulation (asserted by tests/test_politeness.py,
+    including a multi-host domain with differing crawl delays).
     """
     d = robots.select(
         F.col("host").alias("__d_host"),
@@ -100,12 +110,14 @@ def admit_per_domain(
     ).drop("__d_host", "__d_delay")
     order = (F.desc("priority"), F.asc("url_hash"))
     helpers = ("__salt", "__lrank", "__rank", "__budget")
-    # phase 1: local top-budget within (domain, salt bucket)
+    # phase 1: local top-base_budget within (domain, salt bucket) — the
+    # cutoff must be the domain-level max budget (see docstring); lit
+    # base_budget is that max for every domain
     f = f.withColumn("__salt", salt(11, salt_buckets, "url_hash"))
     w1 = Window.partitionBy("domain", "__salt").orderBy(*order)
     f = f.withColumn("__lrank", F.row_number().over(w1))
-    survivors = f.filter(F.col("__lrank") <= F.col("__budget"))
-    losers = f.filter(F.col("__lrank") > F.col("__budget"))
+    survivors = f.filter(F.col("__lrank") <= F.lit(base_budget))
+    losers = f.filter(F.col("__lrank") > F.lit(base_budget))
     # phase 2: global per-domain rank over the bounded survivor set
     w2 = Window.partitionBy("domain").orderBy(*order)
     s = survivors.withColumn("__rank", F.row_number().over(w2))

@@ -17,7 +17,7 @@ from __future__ import annotations
 import os
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, LongType, StructField, StructType
 
@@ -130,13 +130,16 @@ class SeenSet:
             new = new.join(
                 self.load().select("bucket", "url_hash"), ["bucket", "url_hash"], "left_anti"
             )
-        out = new.select("url_hash", "bucket").cache()
-        n = out.count()
+        # the append write doubles as the count job (Observation rides the
+        # write action) — one job instead of count-then-write
+        obs = Observation()
+        out = new.select("url_hash", "bucket").observe(obs, F.count(F.lit(1)).alias("n")).cache()
+        out.write.mode("append").partitionBy("bucket").parquet(self.path)
+        n = int(obs.get["n"])
         if self._bloom is not None and n:
             delta = build_bloom_from_df(out, "url_hash", self.bloom_config)
             self._bloom.merge(delta)
             self._rebroadcast()
-        out.write.mode("append").partitionBy("bucket").parquet(self.path)
         out.unpersist()
         return n
 

@@ -29,7 +29,7 @@ import json
 import os
 from dataclasses import asdict, dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..determinism import quantize9
@@ -239,12 +239,9 @@ class CrawlEngine:
         fresh = self.seen.filter_unseen(resolved).cache()
         self._seen_total += self.seen.add(fresh.select("url_hash"), assume_new=True)
 
-        # domains rate-limited this round are exhausted from now on
-        newly_blocked = {
-            r["domain"]
-            for r in ledger.filter(F.col("status") == 429).select("domain").distinct().collect()
-        }
-        self.blocked_domains |= newly_blocked
+        # 429-domain discovery rides the checkpoint write's Observation
+        # (no extra job here); _checkpoint updates self.blocked_domains
+        # before the next round's admission reads it.
 
         next_frontier = deferred.select(*fresh.columns).unionByName(fresh)
         if held is not None:
@@ -252,13 +249,26 @@ class CrawlEngine:
         self._round_caches = [p, scored, fresh, *seq_caches]  # unpersisted after checkpoint
         return ledger, next_frontier
 
+    def _reps_path(self) -> str:
+        return os.path.join(self.dir, "neardup_reps")
+
+    def _reps_exists(self) -> bool:
+        p = self._reps_path()
+        return os.path.isdir(p) and any(n.endswith(".parquet") for n in os.listdir(p))
+
     def _with_near_dup_flags(self, ledger: DataFrame, caches: list[DataFrame]) -> DataFrame:
         """phash near-dup suppression wired into the round (north rule):
         ``dup_of`` = order_key of the earliest near-duplicate across ALL
-        rounds so far (prior rounds' (order_key, phash) pairs union in as
-        slim rows). At real scale the prior side would be a maintained
-        phash-representative side table rather than a ledger re-scan; the
-        banded-LSH pairing itself is already the scale shape.
+        rounds so far. The prior-rounds side is the MAINTAINED
+        phash-representative side table (one slim (order_key, phash) row
+        per distinct phash ever fetched, appended per round by
+        ``_checkpoint``) — a bounded read that replaces the round-2 full
+        ledger re-scan, whose O(R) read volume per round grew round
+        latency with crawl history. Representatives are lossless for new
+        rows' verdicts: the earliest near neighbor of any row is always an
+        exact-phash representative (a non-rep's exemplar is earlier and
+        equally near), which is the same argument suppress_near_dups
+        itself uses for its exact-dup collapse.
 
         The suppression plan branches from its input ~5 times (reps window,
         two band sides, verdict map-back), so it runs over a SLIM CACHED
@@ -266,8 +276,10 @@ class CrawlEngine:
         ledger by order_key — never dragging ledger columns through the
         band shuffles."""
         slim = ledger.select("order_key", "phash")
-        if self.round > 0:
-            slim = slim.unionByName(self.ledger_df().select("order_key", "phash"))
+        if self._reps_exists():
+            slim = slim.unionByName(
+                self.spark.read.parquet(self._reps_path()).select("order_key", "phash")
+            )
         slim = slim.cache()
         caches.append(slim)
         flagged = suppress_near_dups(
@@ -299,19 +311,41 @@ class CrawlEngine:
 
     def _checkpoint(self, ledger: DataFrame, frontier: DataFrame) -> None:
         r = self.round
+        # fetch metrics + 429-domain discovery ride the snapshot write as
+        # an Observation — zero extra jobs (the round-2 formulation spent
+        # one agg job on the written parquet plus a distinct/collect on the
+        # cached ledger for the 429 set, ~2 jobs/round of pure scheduling)
+        obs = Observation(f"ledger_r{r}")
+        led_obs = ledger.observe(
+            obs,
+            F.count(F.lit(1)).alias("fetched"),
+            F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("ok"),
+            F.collect_set(F.when(F.col("status") == 429, F.col("domain"))).alias("limited"),
+        )
         # plain subdirs (not round= partition dirs): the round column is
         # already stored in the files; a partition dir would duplicate it
-        ledger.write.mode("overwrite").parquet(os.path.join(self.dir, f"ledger/r{r}"))
+        led_obs.write.mode("overwrite").parquet(os.path.join(self.dir, f"ledger/r{r}"))
+        led_stats = obs.get
+        # T4: domains rate-limited this round are exhausted from now on —
+        # updated HERE, before the next round's admission runs
+        self.blocked_domains |= set(led_stats["limited"] or [])
         frontier.write.mode("overwrite").parquet(os.path.join(self.dir, f"frontier/r{r}"))
-        # metrics from the WRITTEN snapshots (cheap parquet scans — never
-        # re-execute the round plan), one aggregate per table:
-        # per-partition lineage + frontier/fetch metrics (north rule)
+        # maintain the phash-representative side table: one (order_key,
+        # phash) row per phash value first seen this round (order_keys are
+        # monotone in round, so appends never supersede an existing rep)
         led = self.spark.read.parquet(os.path.join(self.dir, f"ledger/r{r}"))
+        new_reps = (
+            led.filter(F.col("phash").isNotNull())
+            .groupBy("phash")
+            .agg(F.min("order_key").alias("order_key"))
+        )
+        if self._reps_exists():
+            prior = self.spark.read.parquet(self._reps_path()).select("phash")
+            new_reps = new_reps.join(prior, "phash", "left_anti")
+        new_reps.select("order_key", "phash").write.mode("append").parquet(self._reps_path())
+        # per-partition lineage + frontier metrics (north rule) from the
+        # WRITTEN snapshot — never re-executes the round plan
         fr = self.spark.read.parquet(os.path.join(self.dir, f"frontier/r{r}"))
-        led_stats = led.agg(
-            F.count("*").alias("fetched"),
-            F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("ok"),
-        ).collect()[0]
         part_rows = (
             fr.withColumn("__pid", F.spark_partition_id()).groupBy("__pid").count().collect()
         )
@@ -324,6 +358,10 @@ class CrawlEngine:
             "partitions": sorted([(int(x["__pid"]), int(x["count"])) for x in part_rows]),
             "blocked_domains": sorted(self.blocked_domains),
             "config": asdict(self.cfg),
+            # the EFFECTIVE lexicon (incl. a bootstrap phase's grown
+            # override) — resume() must crawl with the same queries and
+            # scoring, not silently revert to the fixture seed lexicon
+            "lexicon_rows": [[t, int(f)] for t, f in self.lex_rows],
         }
         self.metrics.append(m)
         with open(os.path.join(self.dir, f"metrics_round{r}.json"), "w") as f:
@@ -346,7 +384,13 @@ class CrawlEngine:
         last = rounds[-1]
         with open(os.path.join(checkpoint_dir, f"metrics_round{last}.json")) as f:
             meta = json.load(f)
-        eng = cls(spark, CrawlConfig(**meta["config"]), checkpoint_dir)
+        lex_rows = meta.get("lexicon_rows")
+        eng = cls(
+            spark,
+            CrawlConfig(**meta["config"]),
+            checkpoint_dir,
+            lexicon_rows=[(t, int(f)) for t, f in lex_rows] if lex_rows else None,
+        )
         eng.round = last + 1
         eng.blocked_domains = set(meta.get("blocked_domains", []))
         eng._seen_total = int(meta.get("seen_total", 0))

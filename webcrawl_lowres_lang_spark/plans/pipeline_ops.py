@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .registry import load, register
+from .registry import REGISTRY, load, register
 
 # ---------------------------------------------------------------------------
 # shared builders
@@ -286,7 +286,7 @@ def _tokhash60_spark(tok):
 
 
 _SIMHASH_VOTE_COLS_SQL = ",\n             ".join(
-    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS w{b}" for b in range(60)
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN cnt ELSE -cnt END) AS w{b}" for b in range(60)
 )
 _SIMHASH_FOLD_SQL = " + ".join(
     f"CASE WHEN w{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(60)
@@ -298,10 +298,12 @@ _SIMHASH_FOLD_SQL = " + ".join(
     oracle=f"""
     WITH corpus AS ({_DOCS_MUTATED_SQL}),
     tok AS (
-      SELECT doc_id, unnest({_TOKENS}) AS tok FROM corpus
+      SELECT doc_id, tok, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest({_TOKENS}) AS tok FROM corpus)
+      GROUP BY doc_id, tok
     ),
     th AS (
-      SELECT doc_id, {_HEXFOLD_SQL.format(expr='tok')} AS h FROM tok
+      SELECT doc_id, {_HEXFOLD_SQL.format(expr='tok')} AS h, cnt FROM tok
     ),
     votes AS (
       SELECT doc_id,
@@ -324,35 +326,68 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a small Hamming distance. Verified here on the known original↔mutated
     # pairs (the general banded pairing is exercised in operators/neardup.py).
     #
-    # Shuffle shape: 60 vote sums aggregate as ONE wide groupBy over the
-    # (doc_id, h) token rows — partial aggregation collapses each map task
-    # to |docs| 60-column rows before the shuffle. Round 1 exploded every
-    # token row x 60 bit positions instead (60x shuffle volume; 4.1s ->
-    # this form is the same math with no expansion).
-    corpus = _docs_with_mutated_copies(spark, sf_dir)
-    th = corpus.select(
-        "doc_id", F.explode(_tokens_col()).alias("tok")
-    ).select("doc_id", _tokhash60_spark(F.col("tok")).alias("h"))
-    votes = th.groupBy("doc_id").agg(
+    # Vote sums aggregate over DISTINCT (doc_id, tok) rows — duplicates
+    # collapse to weights in a first partial-agg'd groupBy BEFORE any
+    # hashing, so each distinct token is md5'd once and votes with its
+    # count (identical result to per-occurrence ±1 votes, strictly less
+    # hash work — the same distinct-first trick minhash uses). And because
+    # the mutated copy's tokens are exactly the original's tokens at
+    # 0-based positions i % 7 != 6, ONE posexplode of the original docs
+    # feeds BOTH simhashes: cnt_all weights the original's votes, cnt_mut
+    # (occurrences at kept positions) the mutated copy's. A token absent
+    # from the mutated doc has cnt_mut = 0 and contributes 0 either way.
+    # vs round 2: one doc scan instead of two, one tokenize instead of
+    # three (the union branch re-tokenized its own array_join output), no
+    # self-join (which recomputed the whole pipeline per side — different
+    # join keys defeat ReusedExchange; measured 2x plan cost at sf0.1),
+    # and both 60-bit signatures emerge from the SAME wide groupBy row, so
+    # the hamming filter needs no pairing shuffle at all.
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = d.select("doc_id", F.posexplode(_tokens_col()).alias("pos", "tok"))
+    tc = tok.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("cnt_all"),
+        F.sum(F.when(F.col("pos") % 7 != 6, 1).otherwise(0)).alias("cnt_mut"),
+    )
+    # One row per (doc_id, side, distinct token): a 120-column agg would
+    # keep both sides in one row but falls out of whole-stage codegen
+    # (spark.sql.codegen.maxFields = 100 — measured 1.5x slower), so the
+    # sides explode into rows and the vote agg stays at 60 columns.
+    sides = (
+        tc.select(
+            "doc_id",
+            _tokhash60_spark(F.col("tok")).alias("h"),
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("side"), F.col("cnt_all").alias("cnt")),
+                    F.struct(F.lit(1).alias("side"), F.col("cnt_mut").alias("cnt")),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.side").alias("side"), "h", F.col("s.cnt").alias("cnt"))
+        .filter(F.col("cnt") > 0)
+    )
+    votes = sides.groupBy("doc_id", "side").agg(
         *[
             F.sum(
-                F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)
+                F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), F.col("cnt")).otherwise(
+                    -F.col("cnt")
+                )
             ).alias(f"w{b}")
             for b in range(60)
         ]
     )
-    fold = None
+    fold = F.lit(0)
     for b in range(60):
-        term = F.when(F.col(f"w{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        fold = term if fold is None else fold + term
-    sim = votes.select("doc_id", fold.cast("long").alias("simhash"))
-    a = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    b = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+        fold = fold + F.when(F.col(f"w{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    sim = votes.select("doc_id", "side", fold.cast("long").alias("simhash"))
+    pairs = sim.groupBy(F.col("doc_id").alias("doc_a")).agg(
+        F.max(F.when(F.col("side") == 0, F.col("simhash"))).alias("sh_a"),
+        F.max(F.when(F.col("side") == 1, F.col("simhash"))).alias("sh_b"),
+    )
     return (
-        a.join(b, a.doc_a + 1_000_000 == b.doc_b)
-        .withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)").cast("long"))
+        pairs.withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)").cast("long"))
         .filter(F.col("hamming") <= 16)
-        .select("doc_a", "doc_b", "hamming")
+        .select("doc_a", (F.col("doc_a") + 1_000_000).alias("doc_b"), "hamming")
     )
 
 
@@ -570,7 +605,8 @@ def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (movable to any rational threshold) — no float anywhere, so both engines
 # agree bit-for-bit.
 _EMB_H = 16  # hyperplanes -> 16-bit signature
-_EMB_BANDS = 4  # 4 bands of 4 bits
+_EMB_BANDS = 2  # 2 bands of 8 bits (band loops below derive from this)
+_EMB_BAND_W = _EMB_H // _EMB_BANDS
 _EMB_DIM = 64
 _EMB_PLANES: list[list[int]] = []
 _ps = 0xBEEF
@@ -603,10 +639,10 @@ _EMB_BITS_SQL = ", ".join(
 )
 _EMB_BAND_SQL = {
     b: " + ".join(
-        f"(CASE WHEN b{h} THEN {1 << (h % 8)} ELSE 0 END)"
-        for h in range(b * 8, b * 8 + 8)
+        f"(CASE WHEN b{h} THEN {1 << (h % _EMB_BAND_W)} ELSE 0 END)"
+        for h in range(b * _EMB_BAND_W, (b + 1) * _EMB_BAND_W)
     )
-    for b in range(2)
+    for b in range(_EMB_BANDS)
 }
 
 
@@ -685,15 +721,18 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def band_val(b):
         out = F.lit(0)
-        for h in range(b * 8, b * 8 + 8):
-            out = out + F.when(F.col(f"b{h}"), F.lit(1 << (h % 8))).otherwise(F.lit(0))
+        for h in range(b * _EMB_BAND_W, (b + 1) * _EMB_BAND_W):
+            out = out + F.when(F.col(f"b{h}"), F.lit(1 << (h % _EMB_BAND_W))).otherwise(
+                F.lit(0)
+            )
         return out
 
-    bands = sigs.select(
-        "vec_id", F.lit(0).alias("band_idx"), band_val(0).alias("band_val")
-    ).unionByName(
-        sigs.select("vec_id", F.lit(1).alias("band_idx"), band_val(1).alias("band_val"))
-    )
+    bands = None
+    for b in range(_EMB_BANDS):
+        part = sigs.select(
+            "vec_id", F.lit(b).alias("band_idx"), band_val(b).alias("band_val")
+        )
+        bands = part if bands is None else bands.unionByName(part)
     a = bands.select("band_idx", "band_val", F.col("vec_id").alias("vec_a"))
     b = bands.select("band_idx", "band_val", F.col("vec_id").alias("vec_b"))
     cand = (
@@ -880,6 +919,82 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _IVF_TOPK)
         .select("query_id", "neighbor_id", "qdot")
+    )
+
+
+@register(
+    "ann_ivf_recall",
+    oracle=f"""
+    WITH ivf AS (
+{REGISTRY["ann_ivf_kmeans_topk"].oracle}
+    ),
+    rq AS (SELECT vec_id, {_IVF_QV_SQL} AS qv FROM embeddings),
+    rprobes AS (SELECT vec_id AS query_id, qv AS pqv FROM rq WHERE vec_id < 5),
+    rscored AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, {_IVF_DIM} + 1),
+                           i -> p.pqv[i] * e.qv[i])) AS BIGINT) AS qdot
+      FROM rprobes p JOIN rq e ON e.vec_id != p.query_id
+    ),
+    rexact AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY qdot DESC, neighbor_id ASC) AS rn
+            FROM rscored) t
+      WHERE rn <= {_IVF_TOPK}
+    )
+    SELECT e.query_id,
+           CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
+           ROUND(COUNT(i.neighbor_id) * 1.0 / {_IVF_TOPK}, 4) AS recall_at_10
+    FROM rexact e LEFT JOIN ivf i
+      ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+    survey_ref="A12,A14",
+    tags=("similarity",),
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Recall@k audit of the learned-quantizer IVF (nprobe=1) against the
+    # exhaustive ground truth UNDER THE SAME METRIC the IVF ranks by
+    # (exact integer dot product over the full corpus) — so the number
+    # isolates exactly what nprobe=1 cell restriction loses. A real IVF
+    # ships with this measurement; reference analog: the lingua-vs-cossim
+    # precision/recall audit (reference nlp.py:437-446). Deterministic on
+    # both engines (integer math + total tie-break), so the recall value
+    # itself is oracle-checked, and tests/test_pipeline_ops.py asserts the
+    # floor recorded in COVERAGE.md.
+    ivf = ann_ivf_kmeans_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    qv = F.transform(
+        F.col("embedding"), lambda x: F.floor(x.cast("double") * _IVF_SCALE).cast("long")
+    )
+    e = load(spark, sf_dir, "embeddings").select("vec_id", qv.alias("qv"))
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("pqv")
+    )
+
+    def isum(arr):
+        return F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
+
+    scored = e.join(F.broadcast(probes), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        isum(F.zip_with("pqv", "qv", lambda a, b: a * b)).cast("long").alias("qdot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("neighbor_id"))
+    exact = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _IVF_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        exact.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("__hit").cast("long").alias("n_hits"),
+            F.round(F.count("__hit") * 1.0 / _IVF_TOPK, 4).alias("recall_at_10"),
+        )
     )
 
 
@@ -1070,18 +1185,27 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Opaque binary column -> decode -> channel stats + 8x8 thumbnail
     # embedding, all in Arrow batches (operators/multimodal.py). Input is
-    # the deterministic synthetic image store (driver tables carry no
-    # binary columns). The driver-facing projection is SCALAR-ONLY: the
-    # rows-only canonicalizer sorts columns through pandas, which cannot
-    # hash list cells — so the thumb vector is exported as an md5 digest
-    # plus its L2 norm; the array form stays available internally for the
-    # ann_* operators via image_features() directly.
-    from ..operators.multimodal import image_features
+    # the deterministic synthetic image store — ``sf_dir`` is deliberately
+    # unused because the driver tables carry no binary columns. The
+    # driver-facing projection is SCALAR-ONLY: the rows-only canonicalizer
+    # sorts columns through pandas, which cannot hash list cells — so the
+    # thumb vector is exported as an md5 digest plus its L2 norm; the
+    # array form stays available internally for the ann_* operators via
+    # image_features() directly.
+    #
+    # The rows-only driver check has TEETH: every row carries in-UDF
+    # decode invariants (phash recomputed == stored; PSNR vs the
+    # independently re-rendered ground truth >= 40 dB) and the query
+    # FILTERS on them — a broken decode yields fewer than the expected 24
+    # rows in CORRECTNESS_r{N}, not silently-wrong features.
+    from ..operators.multimodal import image_features_validated
     from ..sources import fixtures as fx
 
     lex = [t for t, _ in fx.gen_lexicon_rows(42, 16)]
     pages = fx.gen_pages(spark, 42, 24, lex)
-    feats = image_features(pages)
+    feats = image_features_validated(pages, 42).filter(
+        F.col("phash_ok") & (F.col("psnr_db") >= 40.0)
+    )
     thumb_str = F.concat_ws(
         ",", F.transform(F.col("thumb"), lambda x: F.round(x.cast("double"), 6).cast("string"))
     )
@@ -1100,6 +1224,8 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("std_gray", 4).alias("std_gray"),
         F.md5(thumb_str).alias("thumb_digest"),
         F.round(thumb_norm, 6).alias("thumb_norm"),
+        "phash_ok",
+        F.round("psnr_db", 2).alias("psnr_db"),
     )
 
 

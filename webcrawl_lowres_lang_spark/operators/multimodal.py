@@ -74,6 +74,57 @@ def image_features(pages: DataFrame) -> DataFrame:
     )
 
 
+IMAGE_FEATURES_VALIDATED_SCHEMA = (
+    IMAGE_FEATURES_SCHEMA + ", phash_ok boolean, psnr_db double"
+)
+
+
+def image_features_validated(pages: DataFrame, seed: int) -> DataFrame:
+    """image_features plus the north-rule per-row decode invariants,
+    computed IN the batch UDF so the driver's rows-only check has teeth:
+
+    - ``phash_ok``: phash64 recomputed from the decoded pixels equals the
+      stored ``phash`` column;
+    - ``psnr_db``: PSNR of decoded pixels vs the independently re-rendered
+      ground truth (fixtures.expected_pixels) — exact (capped 99 dB) for
+      png, ~46 dB for the lossy stand-in; the invariant floor is 40 dB.
+
+    Callers filter on the invariants, so a broken decode path shows up as
+    MISSING ROWS in the driver report, not as silently-wrong features."""
+    from ..functions.imaging import phash64, psnr
+    from ..sources.fixtures import expected_pixels
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for row in b.itertuples(index=False):
+                img = decode_image(bytes(row.bytes), row.fmt).astype(np.float64)
+                gray = img @ np.array([0.299, 0.587, 0.114])
+                thumb = resize_nn(gray, THUMB, THUMB) / 255.0
+                truth = expected_pixels(seed, int(row.image_id[4:]))
+                p = psnr(img.astype(np.uint8), truth)
+                out.append(
+                    {
+                        "image_id": row.image_id,
+                        "w": int(row.w),
+                        "h": int(row.h),
+                        "fmt": row.fmt,
+                        "mean_r": float(img[:, :, 0].mean()),
+                        "mean_g": float(img[:, :, 1].mean()),
+                        "mean_b": float(img[:, :, 2].mean()),
+                        "std_gray": float(gray.std()),
+                        "thumb": thumb.flatten().astype(np.float32).tolist(),
+                        "phash_ok": phash64(img.astype(np.uint8)) == int(row.phash),
+                        "psnr_db": min(float(p), 99.0),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return pages.select("image_id", "bytes", "w", "h", "fmt", "phash").mapInPandas(
+        process, IMAGE_FEATURES_VALIDATED_SCHEMA
+    )
+
+
 AUDIO_FEATURES_SCHEMA = "clip_id string, sr int, n_samples long, rms double, peak double"
 
 

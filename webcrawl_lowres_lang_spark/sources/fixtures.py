@@ -108,11 +108,11 @@ PAGES_SCHEMA = (
 )
 
 
-def page_row(seed: int, k: int, lex_words: list[str]) -> dict:
-    """One content item. Every ~50th item (k%50==1) is a NEAR-DUPLICATE of
-    its predecessor (tiny pixel perturbation, phash Hamming<=4) to exercise
-    phash suppression (north rule)."""
-    image_id = f"img-{k:08d}"
+def expected_pixels(seed: int, k: int) -> np.ndarray:
+    """Ground-truth pixels of page k BEFORE encoding — the independent
+    reference the decode-validation invariant (PSNR >= 40 dB, north rule)
+    compares against. Shared by page_row so fixture and validator can
+    never drift apart."""
     near_dup = k % 50 == 1 and k > 0
     base_k = k - 1 if near_dup else k
     w = 32 + _mix(seed, base_k, 10) % 65
@@ -121,6 +121,16 @@ def page_row(seed: int, k: int, lex_words: list[str]) -> dict:
     if near_dup:
         img = img.copy()
         img[:3, :3] = np.clip(img[:3, :3].astype(np.int32) + 2, 0, 255).astype(np.uint8)
+    return img
+
+
+def page_row(seed: int, k: int, lex_words: list[str]) -> dict:
+    """One content item. Every ~50th item (k%50==1) is a NEAR-DUPLICATE of
+    its predecessor (tiny pixel perturbation, phash Hamming<=4) to exercise
+    phash suppression (north rule)."""
+    image_id = f"img-{k:08d}"
+    img = expected_pixels(seed, k)
+    h, w = img.shape[:2]
     fmt = "png" if _mix(seed, k, 12) % 2 == 0 else "jpeg"
     data = png_encode(img) if fmt == "png" else jpeg_encode_standin(img)
     # phash over *decoded* pixels (what a fetcher recomputes), so the stored

@@ -100,3 +100,29 @@ def test_salted_admission_columns_preserved(spark):
     assert set(adm.columns) == set(f.columns)
     assert set(dfr.columns) == set(f.columns)
     assert adm.count() + dfr.count() == 200
+
+
+def test_no_carry_over_refill(spark):
+    """Defined token-bucket semantics: memoryless per-round refill, NO
+    carry-over. A crawl_delay-2.0 host gets floor(budget/3) admitted every
+    round even when earlier rounds spent nothing — unspent tokens vanish
+    (see effective_budget docstring; carry-over would let a starved host
+    burst above its declared rate)."""
+    from webcrawl_lowres_lang_spark.operators.politeness import effective_budget
+
+    assert effective_budget(9, 2.0) == 3
+    robots = spark.createDataFrame(
+        [("www.slow.com", False, 2.0)],
+        "host string, respect_disallow boolean, crawl_delay double",
+    )
+    frontier = spark.createDataFrame(
+        [(i, "slow.com", "www.slow.com", float(i), i * 7919) for i in range(30)],
+        "id long, domain string, host string, priority double, url_hash long",
+    )
+    remaining = frontier
+    for _ in range(3):  # three refill ticks over the SAME queue
+        adm, remaining = admit_per_domain(remaining, robots, base_budget=9)
+        # every round admits exactly the memoryless refill, never
+        # refill + unspent history
+        assert adm.count() == 3
+    assert remaining.count() == 30 - 9

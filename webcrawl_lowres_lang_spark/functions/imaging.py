@@ -151,9 +151,12 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 def render_image(seed: int, key: str, w: int, h: int) -> np.ndarray:
     """Deterministic HxWx3 uint8 image keyed by (seed, key): smooth gradient
     + structured noise. Same (seed,key,w,h) -> identical pixels anywhere."""
-    base = np.uint64(zlib.crc32(key.encode()) ^ (seed & 0xFFFFFFFF)) * np.uint64(
-        0x9E3779B97F4A7C15
-    )
+    # uint64 wraparound here is intentional (splitmix-style mixing) —
+    # errstate keeps numpy's overflow RuntimeWarning out of test output
+    with np.errstate(over="ignore"):
+        base = np.uint64(zlib.crc32(key.encode()) ^ (seed & 0xFFFFFFFF)) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
     ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
     s = _splitmix64(np.arange(6, dtype=np.uint64) + base).astype(np.float64) * (2.0 ** -64)
     img = np.zeros((h, w, 3), dtype=np.float64)

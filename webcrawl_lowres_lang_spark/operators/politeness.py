@@ -34,8 +34,20 @@ DEPTH_WEIGHT = 0.1  # priority = relevance - DEPTH_WEIGHT * depth
 
 
 def effective_budget(base_budget: int, crawl_delay: float) -> int:
-    """Tokens per round for a domain declaring ``crawl_delay`` (virtual-time
-    token bucket: refill = budget scaled down by the declared delay)."""
+    """Tokens per round for a host declaring ``crawl_delay`` (virtual-time
+    token bucket: refill = budget scaled down by the declared delay).
+
+    DEFINED SEMANTICS — memoryless refill, NO carry-over: the bucket
+    resets to ``max(1, floor(budget/(1+delay)))`` every round; unspent
+    tokens vanish. A host with crawl_delay 2.0 gets exactly
+    ``floor(budget/3)`` each round regardless of how little it fetched
+    before. This is deliberate: carry-over would let a briefly-starved
+    host burst ABOVE its declared rate later — the opposite of what
+    crawl_delay asks for — and round-history-dependent budgets would
+    break the partition-invariant determinism the parity oracle (and the
+    north rule's exact crawl-ordering match) requires. The local parity
+    oracle replicates this same formula; tests/test_politeness.py pins
+    the no-carry-over behavior explicitly."""
     return max(1, int(base_budget / (1.0 + crawl_delay)))
 
 

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, LongType, StructField, StructType
 
+from ..sources.tablestore import append_table, read_table, table_exists
 from .bloom import BloomConfig, PartitionedBloom, build_bloom_from_df
 
 SEEN_SCHEMA = StructType([
@@ -32,11 +33,10 @@ SEEN_SCHEMA = StructType([
 class SeenSet:
     """Persistent exact seen-set with an optional in-memory Bloom fast path.
 
-    Storage is an append-only bucket-partitioned Parquet directory — the
-    sandbox stand-in for an Iceberg table (same layout: MERGE-free appends
-    of pre-deduplicated keys; bucket partitioning ≅ Iceberg's
-    ``bucket(n_buckets, url_hash)`` transform). Swap `_write`/`_read` for
-    ``df.writeTo(table).append()`` on a cluster with an Iceberg catalog.
+    Storage is an append-only bucket-partitioned table behind the
+    sources/tablestore.py Iceberg seam (bucket partitioning ≅ Iceberg's
+    ``bucket(n_buckets, url_hash)`` transform; MERGE-free appends of
+    pre-deduplicated keys). The Iceberg swap happens in that one module.
     """
 
     def __init__(
@@ -56,14 +56,12 @@ class SeenSet:
     # -- storage ------------------------------------------------------------
 
     def _exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            n.startswith("bucket=") or n.endswith(".parquet") for n in os.listdir(self.path)
-        )
+        return table_exists(self.path)
 
     def load(self) -> DataFrame:
         if not self._exists():
             return self.spark.createDataFrame([], SEEN_SCHEMA)
-        return self.spark.read.parquet(self.path)
+        return read_table(self.spark, self.path)
 
     def count(self) -> int:
         return self.load().count()
@@ -134,7 +132,7 @@ class SeenSet:
         # write action) — one job instead of count-then-write
         obs = Observation()
         out = new.select("url_hash", "bucket").observe(obs, F.count(F.lit(1)).alias("n")).cache()
-        out.write.mode("append").partitionBy("bucket").parquet(self.path)
+        append_table(out, self.path, partition_by=("bucket",))
         n = int(obs.get["n"])
         if self._bloom is not None and n:
             delta = build_bloom_from_df(out, "url_hash", self.bloom_config)

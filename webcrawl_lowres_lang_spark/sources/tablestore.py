@@ -1,0 +1,55 @@
+"""The Iceberg seam: every persistent engine table (URL-seen set, crawl
+ledger/frontier snapshots, phash-representative side table) reads and
+writes through these four functions and NOWHERE else.
+
+In this sandbox the backing store is an append-only parquet directory per
+table — the documented Iceberg stand-in (same layout assumptions: no
+row-level MERGE, appends of pre-deduplicated keys, bucket partitioning ≅
+Iceberg's ``bucket(n, col)`` transform, snapshot dirs per round ≅ Iceberg
+snapshots). On a cluster with an Iceberg catalog the swap is confined to
+this module: ``read_table`` → ``spark.table(name)``, ``append_table`` →
+``df.writeTo(name).append()``, ``overwrite_table`` →
+``df.writeTo(name).createOrReplace()``, ``table_exists`` → catalog
+``tableExists`` — callers never change (north rule: "over Iceberg tables",
+resumable from snapshot checkpoints).
+
+Reference analog: the SQLite tables at sql.py:147-159 (the reference's
+single-file store) play this role; here the identifier is a path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def table_exists(path: str) -> bool:
+    """True if the table has any committed data files (partition subdirs
+    count; an empty dir or _SUCCESS-only dir does not)."""
+    if not os.path.isdir(path):
+        return False
+    return any(
+        n.endswith(".parquet") or ("=" in n and os.path.isdir(os.path.join(path, n)))
+        for n in os.listdir(path)
+    )
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read a table (the path may carry a glob over snapshot subdirs —
+    the Iceberg equivalent reads the single partitioned table instead)."""
+    return spark.read.parquet(path)
+
+
+def append_table(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> None:
+    w = df.write.mode("append")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def overwrite_table(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

@@ -22,9 +22,11 @@ import os
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
 from pyspark.sql.types import ArrayType, StringType
 
 from ..operators.scoring import tokenize
+from ..sources.tablestore import overwrite_table, read_table
 
 
 def tokenize_udf():
@@ -73,10 +75,10 @@ class LexiconStore:
         os.makedirs(path, exist_ok=True)
 
     def write(self, version: int, lexicon: DataFrame) -> None:
-        lexicon.write.mode("overwrite").parquet(os.path.join(self.path, f"v{version}"))
+        overwrite_table(lexicon, os.path.join(self.path, f"v{version}"))
 
     def read(self, version: int) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, f"v{version}"))
+        return read_table(self.spark, os.path.join(self.path, f"v{version}"))
 
     def versions(self) -> list[int]:
         return sorted(

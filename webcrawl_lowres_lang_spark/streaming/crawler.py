@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..determinism import quantize9
+from ..sources.tablestore import append_table, overwrite_table, read_table, table_exists
 from ..functions.urls import with_url_keys
 from ..operators.bloom import BloomConfig
 from ..operators.fetch import fetch_and_validate, sniff_reject
@@ -253,8 +254,7 @@ class CrawlEngine:
         return os.path.join(self.dir, "neardup_reps")
 
     def _reps_exists(self) -> bool:
-        p = self._reps_path()
-        return os.path.isdir(p) and any(n.endswith(".parquet") for n in os.listdir(p))
+        return table_exists(self._reps_path())
 
     def _with_near_dup_flags(self, ledger: DataFrame, caches: list[DataFrame]) -> DataFrame:
         """phash near-dup suppression wired into the round (north rule):
@@ -278,7 +278,7 @@ class CrawlEngine:
         slim = ledger.select("order_key", "phash")
         if self._reps_exists():
             slim = slim.unionByName(
-                self.spark.read.parquet(self._reps_path()).select("order_key", "phash")
+                read_table(self.spark, self._reps_path()).select("order_key", "phash")
             )
         slim = slim.cache()
         caches.append(slim)
@@ -301,8 +301,8 @@ class CrawlEngine:
             # in-memory plan — otherwise round N re-executes rounds 1..N-1
             # inside every action (measured 10x+ blowup by round 3). This is
             # exactly what Iceberg snapshot-per-round gives on a cluster.
-            frontier = self.spark.read.parquet(
-                os.path.join(self.dir, f"frontier/r{self.round}")
+            frontier = read_table(
+                self.spark, os.path.join(self.dir, f"frontier/r{self.round}")
             )
             ledger.unpersist()
             for df in getattr(self, "_round_caches", []):
@@ -324,28 +324,28 @@ class CrawlEngine:
         )
         # plain subdirs (not round= partition dirs): the round column is
         # already stored in the files; a partition dir would duplicate it
-        led_obs.write.mode("overwrite").parquet(os.path.join(self.dir, f"ledger/r{r}"))
+        overwrite_table(led_obs, os.path.join(self.dir, f"ledger/r{r}"))
         led_stats = obs.get
         # T4: domains rate-limited this round are exhausted from now on —
         # updated HERE, before the next round's admission runs
         self.blocked_domains |= set(led_stats["limited"] or [])
-        frontier.write.mode("overwrite").parquet(os.path.join(self.dir, f"frontier/r{r}"))
+        overwrite_table(frontier, os.path.join(self.dir, f"frontier/r{r}"))
         # maintain the phash-representative side table: one (order_key,
         # phash) row per phash value first seen this round (order_keys are
         # monotone in round, so appends never supersede an existing rep)
-        led = self.spark.read.parquet(os.path.join(self.dir, f"ledger/r{r}"))
+        led = read_table(self.spark, os.path.join(self.dir, f"ledger/r{r}"))
         new_reps = (
             led.filter(F.col("phash").isNotNull())
             .groupBy("phash")
             .agg(F.min("order_key").alias("order_key"))
         )
         if self._reps_exists():
-            prior = self.spark.read.parquet(self._reps_path()).select("phash")
+            prior = read_table(self.spark, self._reps_path()).select("phash")
             new_reps = new_reps.join(prior, "phash", "left_anti")
-        new_reps.select("order_key", "phash").write.mode("append").parquet(self._reps_path())
+        append_table(new_reps.select("order_key", "phash"), self._reps_path())
         # per-partition lineage + frontier metrics (north rule) from the
         # WRITTEN snapshot — never re-executes the round plan
-        fr = self.spark.read.parquet(os.path.join(self.dir, f"frontier/r{r}"))
+        fr = read_table(self.spark, os.path.join(self.dir, f"frontier/r{r}"))
         part_rows = (
             fr.withColumn("__pid", F.spark_partition_id()).groupBy("__pid").count().collect()
         )
@@ -398,10 +398,10 @@ class CrawlEngine:
         return eng
 
     def resumed_frontier(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.dir, f"frontier/r{self.round - 1}"))
+        return read_table(self.spark, os.path.join(self.dir, f"frontier/r{self.round - 1}"))
 
     def ledger_df(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.dir, "ledger/r*"))
+        return read_table(self.spark, os.path.join(self.dir, "ledger/r*"))
 
 
 def fetch_order(ledger: DataFrame) -> list[tuple[int, str]]:

@@ -73,19 +73,17 @@ def stream_discovery_dedup(
     a 10^10-row seen set needs — not in-executor state."""
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        s = batch.sparkSession
-        import os
+        from ..sources.tablestore import append_table, read_table, table_exists
 
-        if os.path.isdir(seen_path) and any(
-            f.endswith(".parquet") for _, _, fs in os.walk(seen_path) for f in fs
-        ):
-            seen = s.read.parquet(seen_path).select("url_hash")
+        s = batch.sparkSession
+        if table_exists(seen_path):
+            seen = read_table(s, seen_path).select("url_hash")
             fresh = batch.join(seen, "url_hash", "left_anti")
         else:
             fresh = batch
         fresh = fresh.dropDuplicates(["url_hash"])
-        fresh.write.mode("append").parquet(out_path)
-        fresh.select("url_hash").write.mode("append").parquet(seen_path)
+        append_table(fresh, out_path)
+        append_table(fresh.select("url_hash"), seen_path)
 
     stream = (
         spark.readStream.schema(schema)
@@ -126,9 +124,12 @@ def _sessionize_group(
     state: a new session starts when the gap to the previous event exceeds
     SESSION_GAP_SECONDS. Emits one running-total row per (user, batch)."""
     last_ts, n_sessions, n_events = state.get if state.exists else (None, 0, 0)
-    rows = pd.concat(list(pdfs), ignore_index=True).sort_values(["ts_sec", "event_id"])
-    for ts in rows["ts_sec"].astype("int64"):
-        if last_ts is None or ts - last_ts > SESSION_GAP_SECONDS:
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values(["ts_us", "event_id"])
+    for ts in rows["ts_us"].astype("int64"):
+        # state timestamps are unix MICROS — gap semantics identical to the
+        # batch lag formulation (ts - prev > INTERVAL 30 MINUTE) at full
+        # timestamp precision
+        if last_ts is None or ts - last_ts > SESSION_GAP_SECONDS * 1_000_000:
             n_sessions += 1
         last_ts = int(ts)
         n_events += 1
@@ -156,7 +157,11 @@ def stream_stateful_sessionize(
         .option("maxFilesPerTrigger", 1)
         .parquet(source_dir)
         .select(
-            "user_id", "event_id", F.col("ts").cast("long").alias("ts_sec")
+            # full microsecond precision: truncating to whole seconds
+            # (cast('long')) made sub-second gaps in (1800.0, 1801.0)
+            # classify differently from the batch formulation's
+            # INTERVAL-30-MINUTE timestamp arithmetic
+            "user_id", "event_id", F.unix_micros(F.col("ts")).alias("ts_us")
         )
     )
     stateful = events.groupBy("user_id").applyInPandasWithState(

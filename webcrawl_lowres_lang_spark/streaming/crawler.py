@@ -33,7 +33,6 @@ from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..determinism import quantize9
-from ..sources.tablestore import append_table, overwrite_table, read_table, table_exists
 from ..functions.urls import with_url_keys
 from ..operators.bloom import BloomConfig
 from ..operators.fetch import fetch_and_validate, sniff_reject
@@ -44,6 +43,7 @@ from ..operators.scoring import LexiconVector, relevance_udf, threshold_classify
 from ..operators.seen import SeenSet
 from ..sources import fixtures as fx
 from ..sources.querygen import english_filter, gen_queries
+from ..sources.tablestore import append_table, overwrite_table, read_table, table_exists
 
 FRONTIER_SCHEMA = (
     "url_id long, url string, url_canon string, url_hash long, host string, "
@@ -289,12 +289,15 @@ class CrawlEngine:
 
     # -- full run with checkpoints ------------------------------------------------
 
-    def run(self, frontier: DataFrame | None = None) -> None:
+    def run(self, frontier: DataFrame | None = None, rounds: int | None = None) -> None:
+        """Run ``rounds`` crawl rounds (default: the configured total).
+        A resumed engine passes ``frontier=resumed_frontier()`` and the
+        number of REMAINING rounds."""
         c = self.cfg
         if frontier is None:
             self.seen.enable_empty_bloom()
             frontier = self.seed_frontier()
-        for _ in range(c.rounds):
+        for _ in range(c.rounds if rounds is None else rounds):
             ledger, frontier = self.run_round(frontier)
             self._checkpoint(ledger, frontier)
             # CUT LINEAGE: continue from the materialized snapshot, not the

@@ -1,61 +1,94 @@
-"""CLI entry: run the crawl engine end-to-end on the synthetic web and
-print per-round metrics + a sample of the fetch ledger.
+"""spark-submit entry point for the crawl engine (north rule: "runs via
+spark-submit --py-files on multi-executor clusters").
 
+Local:
     python -m webcrawl_lowres_lang_spark.streaming.run_crawl \
-        [--rounds 3] [--urls 2000] [--pages 100] [--hosts 40] \
-        [--budget 5] [--checkpoint DIR] [--resume]
+        --checkpoint /tmp/crawl_ck --rounds 3 --n-urls 30000
 
-On a cluster the same module runs via
-``spark-submit --py-files webcrawl_lowres_lang_spark.zip -m ...`` with
-``master`` taken from the environment.
+Cluster (the registry also ships the package via addPyFile, so --py-files
+is belt-and-braces):
+    spark-submit --py-files webcrawl_lowres_lang_spark.zip \
+        -m ... run_crawl.py --master yarn --checkpoint s3://bucket/ck ...
+
+Emits one JSON line per round (the engine's per-partition lineage +
+frontier/fetch metrics) and a final summary line
+``{"summary": {urls_fetched, urls_seen, rounds, secs, urls_per_sec}}``.
+``--resume`` continues from the newest round checkpoint in --checkpoint
+(snapshot resumability, north rule) instead of starting fresh.
 """
 
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
-import tempfile
+import sys
+import time
 
-from ..session import get_spark
+from ..session import DEFAULT_CPUS, get_spark
 from .crawler import CrawlConfig, CrawlEngine
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--rounds", type=int, default=3)
-    ap.add_argument("--urls", type=int, default=2000)
-    ap.add_argument("--pages", type=int, default=100)
-    ap.add_argument("--hosts", type=int, default=40)
-    ap.add_argument("--budget", type=int, default=5)
-    ap.add_argument("--queries", type=int, default=4)
-    ap.add_argument("--seed", type=int, default=42)
-    ap.add_argument("--checkpoint", default=None)
-    ap.add_argument("--resume", action="store_true")
-    ap.add_argument("--no-validate", action="store_true")
-    args = ap.parse_args()
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="run_crawl", description="Run the PySpark crawl engine."
+    )
+    ap.add_argument("--checkpoint", required=True, help="checkpoint/state directory")
+    ap.add_argument("--master", default=f"local[{DEFAULT_CPUS}]")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the newest round checkpoint")
+    ap.add_argument("--extra-rounds", type=int, default=None,
+                    help="with --resume: how many more rounds to run "
+                         "(default: the configured total minus completed)")
+    # every CrawlConfig field becomes a flag (single source of truth)
+    for f in dataclasses.fields(CrawlConfig):
+        flag = "--" + f.name.replace("_", "-")
+        if f.type == "bool" or isinstance(f.default, bool):
+            ap.add_argument(flag, type=lambda v: v.lower() in ("1", "true", "yes"),
+                            default=f.default, metavar="BOOL")
+        else:
+            ap.add_argument(flag, type=type(f.default), default=f.default)
+    return ap
 
-    spark = get_spark(app_name="run-crawl")
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = CrawlConfig(**{
+        f.name: getattr(args, f.name) for f in dataclasses.fields(CrawlConfig)
+    })
+    spark = get_spark(app_name="run-crawl", master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
-    ckpt = args.checkpoint or tempfile.mkdtemp(prefix="crawl_ckpt_")
+    # ship the package to python workers (the in-repo equivalent of
+    # --py-files; harmless when spark-submit already provided it)
+    from ..plans.registry import ensure_executors_can_import
 
+    ensure_executors_can_import(spark)
+    t0 = time.perf_counter()
     if args.resume:
-        eng = CrawlEngine.resume(spark, ckpt)
-        eng.cfg.rounds = args.rounds
-        eng.run(frontier=eng.resumed_frontier())
-    else:
-        cfg = CrawlConfig(
-            seed=args.seed, n_urls=args.urls, n_pages=args.pages, n_hosts=args.hosts,
-            query_count=args.queries, host_budget=args.budget, rounds=args.rounds,
-            validate_pixels=not args.no_validate,
+        eng = CrawlEngine.resume(spark, args.checkpoint)
+        todo = (
+            args.extra_rounds
+            if args.extra_rounds is not None
+            else max(0, eng.cfg.rounds - eng.round)
         )
-        eng = CrawlEngine(spark, cfg, ckpt)
+        eng.run(frontier=eng.resumed_frontier(), rounds=todo)
+    else:
+        eng = CrawlEngine(spark, cfg, args.checkpoint)
         eng.run()
-
     for m in eng.metrics:
         print(json.dumps(m))
-    print(f"checkpoint: {eng.dir}")
-    eng.ledger_df().orderBy("round", "fetch_seq").show(10, truncate=60)
+    secs = time.perf_counter() - t0
+    fetched = eng.ledger_df().count()
+    print(json.dumps({"summary": {
+        "urls_fetched": int(fetched),
+        "urls_seen": int(eng.seen.count()),
+        "rounds": int(eng.round),
+        "secs": round(secs, 2),
+        "urls_per_sec": round(fetched / secs, 2) if secs else None,
+        "checkpoint": args.checkpoint,
+    }}))
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -77,3 +77,44 @@ def test_whole_stage_codegen_on_hot_path(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     # codegen'd stages print as "*(n)" prefixes in the final adaptive plan
     assert "isFinalPlan=true" in p and "*(" in p
+
+
+def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
+    """The 10^10-scale seen-set formulation: when both join sides are
+    BUCKETED tables on the join key (Iceberg `bucket(n, url_hash)` via the
+    tablestore seam; `bucketBy` + `saveAsTable` here), the per-round
+    anti-join runs shuffle-free — no Exchange on either side — because
+    partitioning is already co-located on disk. The parquet-dir SeenSet
+    gets scan pruning from its directory layout; this pins the plan shape
+    the bucketed swap buys on a cluster."""
+    # warehouse.dir is a static conf — place the tables in a tmp-located
+    # database instead
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bdemo LOCATION '{tmp_path / 'wh'}'")
+    spark.sql("USE bdemo")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        seen = spark.range(0, 20_000).select(
+            (F.xxhash64("id")).alias("url_hash")
+        )
+        cand = spark.range(5_000, 30_000).select(
+            (F.xxhash64("id")).alias("url_hash"), F.lit("u").alias("url")
+        )
+        for name, df in (("t_seen_b", seen), ("t_cand_b", cand)):
+            df.write.mode("overwrite").bucketBy(8, "url_hash").sortBy(
+                "url_hash"
+            ).format("parquet").saveAsTable(name)
+        fresh = spark.table("t_cand_b").join(
+            spark.table("t_seen_b"), "url_hash", "left_anti"
+        )
+        plan = fresh._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # and the result is the plain anti-join
+        assert fresh.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_seen_b")
+        spark.sql("DROP TABLE IF EXISTS t_cand_b")
+        spark.sql("USE default")
+        spark.sql("DROP DATABASE IF EXISTS bdemo")

@@ -126,3 +126,57 @@ def test_no_carry_over_refill(spark):
         # refill + unspent history
         assert adm.count() == 3
     assert remaining.count() == 30 - 9
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _frontier_case(draw):
+    """Random multi-domain frontier with multi-host domains, differing
+    crawl delays, priority ties, and small salt-bucket counts — the space
+    where the two-phase admission could diverge from the plain window."""
+    n_domains = draw(st.integers(1, 5))
+    rows, robots, rid = [], [], 0
+    for d in range(n_domains):
+        n_hosts = draw(st.integers(1, 3))
+        hosts = [f"h{j}.d{d}.com" for j in range(n_hosts)]
+        for h in hosts:
+            robots.append((h, False, draw(st.sampled_from([0.0, 1.0, 2.0, 7.0]))))
+        for _ in range(draw(st.integers(1, 25))):
+            rows.append(
+                (
+                    rid,
+                    f"d{d}.com",
+                    draw(st.sampled_from(hosts)),
+                    # few distinct priorities -> frequent ties, so the
+                    # url_hash tie-break is actually load-bearing
+                    float(draw(st.integers(0, 4))),
+                    rid * 2_654_435_761 % 2**31,
+                )
+            )
+            rid += 1
+    budget = draw(st.integers(1, 6))
+    buckets = draw(st.sampled_from([1, 2, 4, 8]))
+    return rows, robots, budget, buckets
+
+
+@settings(max_examples=12, deadline=None)
+@given(_frontier_case())
+def test_admission_equals_plain_window_property(spark, case):
+    rows, robots_rows, budget, buckets = case
+    f = spark.createDataFrame(
+        rows, "id long, domain string, host string, priority double, url_hash long"
+    )
+    robots = spark.createDataFrame(
+        robots_rows, "host string, respect_disallow boolean, crawl_delay double"
+    )
+    adm, dfr = admit_per_domain(f, robots, base_budget=budget, salt_buckets=buckets)
+    adm0, dfr0 = _plain_window_admission(f, robots, budget)
+    assert sorted(r["id"] for r in adm.collect()) == sorted(
+        r["id"] for r in adm0.collect()
+    )
+    assert sorted(r["id"] for r in dfr.collect()) == sorted(
+        r["id"] for r in dfr0.collect()
+    )

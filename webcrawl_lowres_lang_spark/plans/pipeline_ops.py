@@ -260,18 +260,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.band_idx", "b.band_val")
-    wb = Window.partitionBy("band_idx", "band_val")
-    capped = bands.withColumn("bsz", F.count("*").over(wb)).filter(
-        F.col("bsz") <= _MAX_BUCKET
+    # Bucket pairing WITHOUT a self-join: a/b branches over the band table
+    # each recompute the whole tokenize/md5/signature pipeline (different
+    # join-side aliases defeat ReusedExchange — same 2x-plan-cost disease
+    # dedup_simhash had). One groupBy collects each bucket's (bounded,
+    # <= _MAX_BUCKET) member list, the size filter IS the hot-bucket cap
+    # (replacing the separate count-window pass), and pair expansion
+    # happens inside the sorted array — <= C(64,2) pairs per bucket.
+    grouped = bands.groupBy("band_idx", "band_val").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
     )
-    a = capped.select("band_idx", "band_val", F.col("doc_id").alias("doc_a"))
-    b = capped.select("band_idx", "band_val", F.col("doc_id").alias("doc_b"))
-    return (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    bounded = grouped.filter((F.size("ids") >= 2) & (F.size("ids") <= _MAX_BUCKET))
+    pairs = bounded.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
     )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 _HEXFOLD_SQL = (

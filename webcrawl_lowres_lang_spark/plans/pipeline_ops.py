@@ -736,22 +736,46 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return out
 
-    bands = None
-    for b in range(_EMB_BANDS):
-        part = sigs.select(
-            "vec_id", F.lit(b).alias("band_idx"), band_val(b).alias("band_val")
-        )
-        bands = part if bands is None else bands.unionByName(part)
-    a = bands.select("band_idx", "band_val", F.col("vec_id").alias("vec_a"))
-    b = bands.select("band_idx", "band_val", F.col("vec_id").alias("vec_b"))
+    # BOTH bands emerge from one explode over one sigs pass — a per-band
+    # union would recompute the 16 plane dots once per band, and the a/b
+    # band self-join would double it again (alias-divergent branches defeat
+    # ReusedExchange). Candidate pairs expand inside each bucket's
+    # collected id list, like dedup_minhash_lsh.
+    bands = sigs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"), band_val(b).alias("band_val")
+                    )
+                    for b in range(_EMB_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band_idx", "bb.band_val")
     cand = (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x AS vec_a, y AS vec_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.vec_a", "p.vec_b")
         .distinct()
     )
-    sa = sigs.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qva"), F.col("n2").alias("na2"))
-    sb = sigs.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qvb"), F.col("n2").alias("nb2"))
+    # verification needs only (qv, n2) — rebuild the CHEAP quantization
+    # subtree for each join side rather than dragging the plane-dot bits
+    # through; the expensive signature math runs exactly once (in bands)
+    vecs = corpus.select("vec_id", "qv", isum(F.transform("qv", lambda x: x * x)).alias("n2"))
+    sa = vecs.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qva"), F.col("n2").alias("na2"))
+    sb = vecs.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qvb"), F.col("n2").alias("nb2"))
     dot = isum(F.zip_with("qva", "qvb", lambda x, y: x * y)).cast("long")
     return (
         cand.join(sa, "vec_a")

@@ -81,6 +81,13 @@ def main() -> None:
     # runs once at sf0.001 (trivial data) so janino whole-stage-codegen
     # compilation of the plan shape — a once-per-plan JVM cost, not query
     # work — is paid before the timed sf runs.
+    #
+    # shuffle partitions = cores for the sf0.1 suite: one task wave per
+    # shuffle. The 3x-cores default exists for skewed/straggler-prone
+    # stages; at this data volume the extra tasks are pure scheduling
+    # overhead (measured: whole suite 9.0s at 32 vs 10.5s at 96). On a
+    # real cluster AQE's advisory partition sizing governs instead.
+    spark.conf.set("spark.sql.shuffle.partitions", str(DEFAULT_CPUS))
     for name in HEADLINE:
         _force(REGISTRY[name].fn(spark, "/root/testdata/sf0.001"))
 

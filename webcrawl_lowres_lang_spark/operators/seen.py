@@ -23,6 +23,7 @@ from pyspark.sql.types import BooleanType, LongType, StructField, StructType
 
 from ..sources.tablestore import append_table, read_table, table_exists
 from .bloom import BloomConfig, PartitionedBloom, build_bloom_from_df
+from .cuckoo import CuckooConfig, PartitionedCuckoo, build_cuckoo_from_df
 
 SEEN_SCHEMA = StructType([
     StructField("url_hash", LongType(), False),
@@ -45,13 +46,35 @@ class SeenSet:
         path: str,
         n_buckets: int = 64,
         bloom_config: BloomConfig | None = None,
+        filter_kind: str = "bloom",
+        cuckoo_config: CuckooConfig | None = None,
     ):
+        """``filter_kind``: "bloom" (default) or "cuckoo". Both satisfy the
+        same contract (no false negatives; vectorized might_contain;
+        treeAggregate build; shard merge) — cuckoo additionally supports
+        O(1) per-key DELETION (TTL re-crawl, host retraction) where a
+        Bloom forces a rebuild. Correctness never depends on the choice:
+        the exact backing table owns it."""
         self.spark = spark
         self.path = path
         self.n_buckets = n_buckets
+        self.filter_kind = filter_kind
         self.bloom_config = bloom_config or BloomConfig(capacity=1_000_000, fpp=0.01)
-        self._bloom: PartitionedBloom | None = None
+        self.cuckoo_config = cuckoo_config or CuckooConfig(
+            capacity=self.bloom_config.capacity, num_shards=self.bloom_config.num_shards
+        )
+        self._bloom: PartitionedBloom | PartitionedCuckoo | None = None
         self._bloom_bc = None
+
+    def _build_filter_from_df(self, df: DataFrame, depth: int = 2):
+        if self.filter_kind == "cuckoo":
+            return build_cuckoo_from_df(df, "url_hash", self.cuckoo_config, depth=depth)
+        return build_bloom_from_df(df, "url_hash", self.bloom_config, depth=depth)
+
+    def _empty_filter(self):
+        if self.filter_kind == "cuckoo":
+            return PartitionedCuckoo(self.cuckoo_config)
+        return PartitionedBloom(self.bloom_config)
 
     # -- storage ------------------------------------------------------------
 
@@ -99,8 +122,8 @@ class SeenSet:
 
         @F.pandas_udf(BooleanType())
         def might_contain(keys: pd.Series) -> pd.Series:
-            bloom: PartitionedBloom = bc.value
-            return pd.Series(bloom.might_contain(keys.to_numpy()))
+            flt = bc.value  # PartitionedBloom or PartitionedCuckoo
+            return pd.Series(flt.might_contain(keys.to_numpy()))
 
         return might_contain(F.col(key_col))
 
@@ -135,7 +158,7 @@ class SeenSet:
         append_table(out, self.path, partition_by=("bucket",))
         n = int(obs.get["n"])
         if self._bloom is not None and n:
-            delta = build_bloom_from_df(out, "url_hash", self.bloom_config)
+            delta = self._build_filter_from_df(out)
             self._bloom.merge(delta)
             self._rebroadcast()
         out.unpersist()
@@ -148,14 +171,15 @@ class SeenSet:
             self._bloom_bc.unpersist()
         self._bloom_bc = self.spark.sparkContext.broadcast(self._bloom)
 
-    def build_bloom(self, depth: int = 2) -> PartitionedBloom:
-        """(Re)build the partitioned Bloom from the exact table via
-        treeAggregate-merged per-partition shards."""
-        self._bloom = build_bloom_from_df(self.load(), "url_hash", self.bloom_config, depth=depth)
+    def build_bloom(self, depth: int = 2):
+        """(Re)build the partitioned filter (Bloom or cuckoo, per
+        ``filter_kind``) from the exact table via treeAggregate-merged
+        per-partition shards."""
+        self._bloom = self._build_filter_from_df(self.load(), depth=depth)
         self._rebroadcast()
         return self._bloom
 
     def enable_empty_bloom(self) -> None:
-        """Start a fresh crawl with an empty live Bloom (everything unseen)."""
-        self._bloom = PartitionedBloom(self.bloom_config)
+        """Start a fresh crawl with an empty live filter (everything unseen)."""
+        self._bloom = self._empty_filter()
         self._rebroadcast()

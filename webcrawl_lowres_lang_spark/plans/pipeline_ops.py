@@ -431,6 +431,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact n-gram Jaccard via shingle-set inverted index (explode + equi-join
     # + group) — never a cross join; the index join only pairs docs sharing a
     # shingle, which is also the 100 TB-scale formulation.
+    #
+    # Deliberately KEEPS the a/b self-join (unlike minhash/embedding LSH,
+    # which collect bucket id-lists): exact Jaccard cannot cap hot
+    # shingles, so a collect_list per shingle would funnel a stop-shingle's
+    # quadratic pair expansion into ONE task, while the join form spreads
+    # the same pairs across the shuffle. The double subtree evaluation is
+    # the price of exactness + skew-resistance here.
     fr_ids = (
         load(spark, sf_dir, "documents")
         .filter(F.col("lang") == "fr")
@@ -496,16 +503,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("v"), lambda x: x + 0.05).alias("v"),
         )
     )
-    a = corpus.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = corpus.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    # pair original <-> shifted copy in ONE slim groupBy on vec_id % 1e6
+    # instead of a self-join (which recomputes the corpus subtree per
+    # side); every original has its shifted twin, so both max() slots fill
+    pairs = corpus.groupBy((F.col("vec_id") % 1_000_000).alias("vec_a")).agg(
+        F.max(F.when(F.col("vec_id") < 1_000_000, F.col("v"))).alias("va"),
+        F.max(F.when(F.col("vec_id") >= 1_000_000, F.col("v"))).alias("vb"),
+    )
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
     nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
     return (
-        a.join(b, F.col("vec_a") + 1_000_000 == F.col("vec_b"))
-        .withColumn("cos_raw", dot / (na * nb))
+        pairs.withColumn("cos_raw", dot / (na * nb))
         .filter(F.col("cos_raw") >= 0.8)
-        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos"))
+        .select(
+            "vec_a", (F.col("vec_a") + 1_000_000).alias("vec_b"),
+            F.round("cos_raw", 6).alias("cos"),
+        )
     )
 
 

@@ -178,3 +178,27 @@ def test_resume_equivalence(spark, tmp_path):
     straight = CrawlEngine(spark, cfg3, str(tmp_path / "ck_straight"))
     straight.run()
     assert resumed_order == fetch_order(straight.ledger_df())
+
+
+def test_cuckoo_filter_crawl_identical(spark, tmp_path):
+    """A crawl with the cuckoo URL-seen pre-filter produces a
+    bit-identical ledger and seen set to the bloom crawl — the filter is
+    a pure pre-filter; the exact table owns correctness."""
+    from webcrawl_lowres_lang_spark.streaming.crawler import (
+        CrawlConfig,
+        CrawlEngine,
+        fetch_order,
+    )
+
+    cfg = dict(
+        seed=42, n_urls=800, n_pages=80, n_hosts=24, query_count=3,
+        num_search_pages=2, host_budget=4, rounds=2, validate_pixels=False,
+    )
+    out = {}
+    for kind in ("bloom", "cuckoo"):
+        eng = CrawlEngine(
+            spark, CrawlConfig(seen_filter=kind, **cfg), str(tmp_path / kind)
+        )
+        eng.run()
+        out[kind] = (fetch_order(eng.ledger_df()), eng.seen.count())
+    assert out["bloom"] == out["cuckoo"]

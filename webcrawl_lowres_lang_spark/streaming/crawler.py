@@ -72,6 +72,10 @@ class CrawlConfig:
     cossim_threshold: float = 0.5
     # phash near-duplicate suppression distance (north rule)
     near_dup_max_hamming: int = 4
+    # URL-seen pre-filter: "bloom" or "cuckoo" (north rule names both;
+    # results identical — exactness is owned by the backing table —
+    # cuckoo additionally supports O(1) deletion for TTL re-crawl)
+    seen_filter: str = "bloom"
 
 
 class CrawlEngine:
@@ -116,6 +120,7 @@ class CrawlEngine:
             os.path.join(checkpoint_dir, "url_seen"),
             n_buckets=16,
             bloom_config=BloomConfig(capacity=c.bloom_capacity, fpp=0.01, num_shards=16),
+            filter_kind=c.seen_filter,
         )
         self.round = 0
         self.metrics: list[dict] = []

@@ -35,10 +35,10 @@ _TOKENS = "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' 
 
 
 def _tokens_col():
-    """Normalized word tokens (engine side)."""
-    return F.filter(
-        F.split(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " "),
-        lambda x: x != "",
+    """Normalized word tokens (engine side). One expr string — the
+    lambda-composed form costs several py4j round-trips per query build."""
+    return F.expr(
+        "filter(split(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' '), x -> x != '')"
     )
 
 
@@ -143,26 +143,30 @@ def _shingles(tokens_col):
     )
 
 
-def _token_hashes(tokens_col):
+# These three builders are single F.expr STRINGS, not composed Column
+# lambdas: the lambda forms cost ~0.5s of driver time PER QUERY BUILD in
+# py4j round-trips (hundreds of Column ops for 12 slots x several calls),
+# while one expr string is one round-trip. Semantics identical.
+
+
+def _token_hashes(col_name: str):
     """28-bit token hash: first 7 hex chars of md5, base-16 decoded."""
-    return F.transform(
-        tokens_col, lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long")
+    return F.expr(
+        f"transform({col_name}, t -> CAST(conv(substring(md5(t), 1, 7), 16, 10) AS BIGINT))"
     )
 
 
-def _shingle_hashes_from_tokens(th_col):
+def _shingle_hashes_from_tokens(col_name: str):
     """3-gram shingle hashes composed from a MATERIALIZED token-hash array."""
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(th_col) - 3, F.lit(0))),
-        lambda i: (
-            F.coalesce(F.element_at(th_col, i + 1), F.lit(0)) * F.lit(_MH_TA)
-            + F.coalesce(F.element_at(th_col, i + 2), F.lit(0)) * F.lit(_MH_TB)
-            + F.coalesce(F.element_at(th_col, i + 3), F.lit(0)) * F.lit(_MH_TC)
-        ) % F.lit(_MH_M),
+    return F.expr(
+        f"transform(sequence(0, greatest(size({col_name}) - 3, 0)), i -> "
+        f"(coalesce(element_at({col_name}, i + 1), 0) * {_MH_TA}L"
+        f" + coalesce(element_at({col_name}, i + 2), 0) * {_MH_TB}L"
+        f" + coalesce(element_at({col_name}, i + 3), 0) * {_MH_TC}L) % {_MH_M}L)"
     )
 
 
-def _minhash_sig_from_hashes(hs_col):
+def _minhash_sig_from_hashes(col_name: str):
     """12-slot signature from a MATERIALIZED shingle-hash column.
 
     Staging matters: inlining the hash expression inside these lambdas
@@ -170,14 +174,11 @@ def _minhash_sig_from_hashes(hs_col):
     lambda bindings) — 30x slower measured at sf0.1. Always build the hash
     array with withColumn first; each slot is then one cheap integer pass.
     """
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(hs_col, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MH_M))
-            )
-            for a, b in _MH_AB
-        ]
+    slots = ", ".join(
+        f"array_min(transform({col_name}, h -> (h * {a}L + {b}L) % {_MH_M}L))"
+        for a, b in _MH_AB
     )
+    return F.expr(f"array({slots})")
 
 
 _HEXFOLD7_SQL = (
@@ -236,30 +237,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _docs_with_mutated_copies(spark, sf_dir)
     sigs = (
         corpus.withColumn("__t", _tokens_col())
-        .withColumn("__th", _token_hashes(F.col("__t")))
-        .withColumn("__hs", _shingle_hashes_from_tokens(F.col("__th")))
+        .withColumn("__th", _token_hashes("__t"))
+        .withColumn("__hs", _shingle_hashes_from_tokens("__th"))
         .select(
             "doc_id",
             # array<string>: band values must render like DuckDB's
             # array_to_string over BIGINTs
-            _minhash_sig_from_hashes(F.col("__hs")).cast("array<string>").alias("sig"),
+            _minhash_sig_from_hashes("__hs").cast("array<string>").alias("sig"),
         )
     )
     n_bands = _N_MINHASH // _BAND_SIZE
     bands = sigs.select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_idx"),
-                    F.array_join(
-                        F.slice(F.col("sig"), b * _BAND_SIZE + 1, _BAND_SIZE), "|"
-                    ).alias("band_val"),
-                ),
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band_idx", "b.band_val")
+        F.expr(
+            f"inline(transform(sequence(0, {n_bands - 1}), b -> "
+            f"struct(b AS band_idx, "
+            f"array_join(slice(sig, b * {_BAND_SIZE} + 1, {_BAND_SIZE}), '|') AS band_val)))"
+        ),
+    )
     # Bucket pairing WITHOUT a self-join: a/b branches over the band table
     # each recompute the whole tokenize/md5/signature pipeline (different
     # join-side aliases defeat ReusedExchange — same 2x-plan-cost disease
@@ -361,37 +356,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keep both sides in one row but falls out of whole-stage codegen
     # (spark.sql.codegen.maxFields = 100 — measured 1.5x slower), so the
     # sides explode into rows and the vote agg stays at 60 columns.
-    sides = (
-        tc.select(
-            "doc_id",
-            _tokhash60_spark(F.col("tok")).alias("h"),
-            F.explode(
-                F.array(
-                    F.struct(F.lit(0).alias("side"), F.col("cnt_all").alias("cnt")),
-                    F.struct(F.lit(1).alias("side"), F.col("cnt_mut").alias("cnt")),
-                )
-            ).alias("s"),
-        )
-        .select("doc_id", F.col("s.side").alias("side"), "h", F.col("s.cnt").alias("cnt"))
-        .filter(F.col("cnt") > 0)
-    )
+    # expression trees here are built as single F.expr STRINGS: the
+    # Column-composition form cost ~1.1s of driver time per query build
+    # (py4j round-trips for ~300 Column ops across 60 vote sums + the
+    # 60-term fold); one string is one round-trip. Semantics identical.
+    sides = tc.select(
+        "doc_id",
+        _tokhash60_spark(F.col("tok")).alias("h"),
+        F.expr(
+            "inline(array(struct(0 AS side, cnt_all AS cnt),"
+            " struct(1 AS side, cnt_mut AS cnt)))"
+        ),
+    ).filter(F.col("cnt") > 0)
     votes = sides.groupBy("doc_id", "side").agg(
         *[
-            F.sum(
-                F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), F.col("cnt")).otherwise(
-                    -F.col("cnt")
-                )
-            ).alias(f"w{b}")
+            F.expr(f"SUM(IF((shiftright(h, {b}) & 1) = 1, cnt, -cnt)) AS w{b}")
             for b in range(60)
         ]
     )
-    fold = F.lit(0)
-    for b in range(60):
-        fold = fold + F.when(F.col(f"w{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-    sim = votes.select("doc_id", "side", fold.cast("long").alias("simhash"))
+    fold_sql = " + ".join(f"IF(w{b} > 0, {1 << b}L, 0L)" for b in range(60))
+    sim = votes.select("doc_id", "side", F.expr(f"CAST({fold_sql} AS BIGINT) AS simhash"))
     pairs = sim.groupBy(F.col("doc_id").alias("doc_a")).agg(
-        F.max(F.when(F.col("side") == 0, F.col("simhash"))).alias("sh_a"),
-        F.max(F.when(F.col("side") == 1, F.col("simhash"))).alias("sh_b"),
+        F.expr("MAX(IF(side = 0, simhash, NULL)) AS sh_a"),
+        F.expr("MAX(IF(side = 1, simhash, NULL)) AS sh_b"),
     )
     return (
         pairs.withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)").cast("long"))

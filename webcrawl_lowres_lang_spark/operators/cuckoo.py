@@ -118,6 +118,42 @@ class CuckooShard:
         io1 = int(self._alt(np.array([i]), np.array([cur], dtype=np.uint16))[0])
         self.overflow.add((min(i, io1), int(cur)))
 
+    def _bulk_place(self, i1s: np.ndarray, fps: np.ndarray) -> np.ndarray:
+        """Vectorized fast path: place keys whose PRIMARY bucket has a
+        free slot, resolving intra-batch bucket collisions by taking one
+        key per bucket per pass (SLOTS passes). Returns the indices still
+        unplaced (full primary bucket -> per-key eviction walk)."""
+        todo = np.arange(len(fps))
+        for _ in range(SLOTS):
+            if not len(todo):
+                break
+            buckets = i1s[todo]
+            _, first = np.unique(buckets, return_index=True)
+            chosen = todo[first]  # one key per distinct bucket this pass
+            rows = self.table[i1s[chosen]]
+            has_free = (rows == 0).any(axis=1)
+            place = chosen[has_free]
+            if len(place):
+                slot = np.argmax(self.table[i1s[place]] == 0, axis=1)
+                self.table[i1s[place], slot] = fps[place]
+            placed = set(place.tolist())
+            # keys whose bucket was full leave the fast path immediately
+            full = set(chosen[~has_free].tolist())
+            todo = np.array(
+                [t for t in todo.tolist() if t not in placed and t not in full],
+                dtype=np.int64,
+            )
+            if not len(todo):
+                todo = np.zeros(0, dtype=np.int64)
+        leftovers = sorted(set(range(len(fps))) - self._placed_set(i1s, fps))
+        return np.array(leftovers, dtype=np.int64)
+
+    def _placed_set(self, i1s: np.ndarray, fps: np.ndarray) -> set[int]:
+        """Indices whose (i1, fp) is now present in the primary bucket —
+        used to compute fast-path leftovers without extra bookkeeping."""
+        hit = (self.table[i1s] == fps.astype(np.uint16)[:, None]).any(axis=1)
+        return set(np.nonzero(hit)[0].tolist())
+
     def add_many(self, keys: np.ndarray, max_kicks: int = 500) -> None:
         if len(keys) == 0:
             return
@@ -126,9 +162,13 @@ class CuckooShard:
         # skip keys whose fingerprint already sits in either candidate
         # bucket (idempotent insert — the seen-set semantic)
         present = self._contained(i1s, fps)
-        for i1, fp, skip in zip(i1s.tolist(), fps.tolist(), present.tolist()):
-            if not skip:
-                self._place(int(i1), int(fp), max_kicks, (i1 * 31 + fp) & 0xFFFFFFFF)
+        fresh = np.nonzero(~present)[0]
+        if not len(fresh):
+            return
+        rest = self._bulk_place(i1s[fresh], fps[fresh])
+        for j in rest.tolist():
+            i1, fp = int(i1s[fresh[j]]), int(fps[fresh[j]])
+            self._place(i1, fp, max_kicks, (i1 * 31 + fp) & 0xFFFFFFFF)
 
     def delete_many(self, keys: np.ndarray) -> int:
         """Remove ONE fingerprint copy per key present; returns removals."""

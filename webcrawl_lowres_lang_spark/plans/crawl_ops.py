@@ -657,8 +657,29 @@ def crawl_round_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eng = CrawlEngine(spark, cfg, tempfile.mkdtemp(prefix="crawl_smoke_"))
     eng.run()
-    return eng.ledger_df().select(
+    led = eng.ledger_df().select(
         "round", "fetch_seq", "url_canon", "url_hash", "domain", "depth",
         "priority", "status", "image_id", "caption_score",
         "rejected", "lang_label", "dup_of",
+    )
+    # rows-only check WITH TEETH: every row must satisfy the engine's
+    # structural invariants, and the query FILTERS on them — a broken
+    # sequencing/hashing/admission path shows up as missing rows in the
+    # driver report, not as silently-wrong output.
+    w = Window.partitionBy("round").orderBy("fetch_seq")
+    return (
+        led.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__pp", F.lag("priority").over(w))
+        .withColumn("__ph", F.lag("url_hash").over(w))
+        # fetch_seq is dense 1..n per round (distributed sequencing)
+        .filter(F.col("fetch_seq") == F.col("__rn"))
+        # url_hash is exactly xxhash64 of the canonical URL
+        .filter(F.col("url_hash") == F.xxhash64("url_canon"))
+        # canonical fetch order: priority DESC, url_hash ASC
+        .filter(
+            F.col("__pp").isNull()
+            | (F.col("priority") < F.col("__pp"))
+            | ((F.col("priority") == F.col("__pp")) & (F.col("url_hash") > F.col("__ph")))
+        )
+        .drop("__rn", "__pp", "__ph")
     )

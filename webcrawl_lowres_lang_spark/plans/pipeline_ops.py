@@ -866,10 +866,16 @@ _IVF_QV_SQL = "list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BI
     tags=("similarity",),
 )
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_topk_impl(spark, sf_dir, nprobe=1)
+
+
+def _ivf_topk_impl(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
     # IVF with a LEARNED coarse quantizer (one exact Lloyd iteration), not
     # precomputed labels: seed centroids = first K vectors, integer-exact
     # assign -> elementwise-sum update -> reassign, then each query probes
-    # only its own cell (nprobe=1) and ranks by exact integer dot product.
+    # its ``nprobe`` nearest cells (the registered query uses nprobe=1;
+    # the recall/cost knob is exercised by tests/test_relational_oracle.py
+    # at nprobe=2) and ranks by exact integer dot product.
     #
     # Exactness design: embeddings quantize to ints (floor(x*1000)); every
     # distance/argmin is integer math except ONE float division whose
@@ -924,18 +930,22 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         - (F.lit(2) * F.col("c") * isum(F.zip_with("qv", "sv", lambda a, b: a * b))).cast("long")
         + F.col("sss")
     )
-    a2 = (
+    assigned = (
         e.crossJoin(F.broadcast(cent))
         .withColumn("__score", num * 1.0 / (F.col("c") * F.col("c")))
         .withColumn(
             "rn", F.row_number().over(w_assign.orderBy(F.asc("__score"), F.asc("cell")))
         )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "qv", "cell")
     )
-    probes = a2.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("qv").alias("pqv"),
-        F.col("cell").alias("pcell"),
+    a2 = assigned.filter(F.col("rn") == 1).select("vec_id", "qv", "cell")
+    # probe side re-derives from the ranking with vec_id < 5 pushed below
+    # the broadcast cross join — 5 x K rows, not a second corpus pass
+    probes = (
+        assigned.filter((F.col("vec_id") < 5) & (F.col("rn") <= F.lit(nprobe)))
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("qv").alias("pqv"),
+            F.col("cell").alias("pcell"),
+        )
     )
     scored = (
         a2.join(
@@ -997,7 +1007,11 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both engines (integer math + total tie-break), so the recall value
     # itself is oracle-checked, and tests/test_pipeline_ops.py asserts the
     # floor recorded in COVERAGE.md.
-    ivf = ann_ivf_kmeans_topk(spark, sf_dir).select(
+    return _ivf_recall_impl(spark, sf_dir, nprobe=1)
+
+
+def _ivf_recall_impl(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
+    ivf = _ivf_topk_impl(spark, sf_dir, nprobe=nprobe).select(
         "query_id", "neighbor_id", F.lit(1).alias("__hit")
     )
     qv = F.transform(

@@ -121,3 +121,59 @@ def test_stream_dedup_matches_batch(spark, tmp_path):
     # seen table has exactly one entry per hash
     seen_df = spark.read.parquet(seen)
     assert seen_df.count() == seen_df.select("url_hash").distinct().count()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode watermark semantics: a window emits once the watermark
+    (2h) passes its end, and a row arriving LATER than the watermark is
+    dropped — the emitted hour-10 window counts only the on-time rows."""
+    import os
+    import time
+
+    import pandas as pd
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+
+    def slice_df(rows):
+        df = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+        return df
+
+    base = time.time() - 1000
+    # batch 0: two on-time rows in hour 10 + a 13:30 row (advances the
+    # watermark to 11:30 as of the NEXT batch)
+    s0 = slice_df([
+        (1, "2026-01-01 10:10:00", 1, "view", 1.0, ""),
+        (2, "2026-01-01 10:20:00", 1, "view", 2.0, ""),
+        (3, "2026-01-01 13:30:00", 1, "view", 4.0, ""),
+    ])
+    # batch 1: watermark 11:30 crosses the [10:00, 11:00) window end ->
+    # the window finalizes, emits (2, 3.0), and its state is EVICTED
+    s1 = slice_df([(4, "2026-01-01 15:30:00", 1, "view", 16.0, "")])
+    # batch 2: a LATE hour-10 row arrives after its window was evicted
+    # (10:40 against watermark 13:30) -> dropped; it must neither re-emit
+    # nor resurrect the finalized window
+    s2 = slice_df([(5, "2026-01-01 10:40:00", 1, "view", 8.0, "")])
+    for i, df in enumerate((s0, s1, s2)):
+        path = os.path.join(src, f"s{i}.parquet")
+        df.to_parquet(path, index=False)
+        os.utime(path, (base + i, base + i))
+
+    q = stream_hourly_counts(
+        spark, src, EVENTS_SCHEMA, str(tmp_path / "ck_late"),
+        output_mode="append", query_name="hourly_append", max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    all_rows = spark.sql("SELECT * FROM hourly_append").collect()
+    rows = {
+        (str(r["hour"]), r["event_type"]): (r["cnt"], r["total_value"])
+        for r in all_rows
+    }
+    # the finalized hour-10 window emitted WITHOUT the late row, exactly once
+    assert rows[("2026-01-01 10:00:00", "view")] == (2, 3.0)
+    assert len(all_rows) == len(rows)  # no window emitted twice
+    # unfinalized windows (13:00, 15:00) have not emitted in append mode
+    assert ("2026-01-01 15:00:00", "view") not in rows

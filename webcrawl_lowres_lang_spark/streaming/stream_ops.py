@@ -31,13 +31,29 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 
 def stream_hourly_counts(
-    spark: SparkSession, source_dir: str, schema: str, checkpoint: str
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    checkpoint: str,
+    output_mode: str = "complete",
+    query_name: str = "hourly_counts",
+    max_files_per_trigger: int = 4,
 ):
     """Watermarked tumbling-window count/sum over a file-source stream.
-    Returns the (started) streaming query writing to an in-memory sink."""
+    Returns the (started) streaming query writing to an in-memory sink.
+
+    ``output_mode="append"`` exercises the watermark's REAL semantics: a
+    window emits exactly once, in the micro-batch whose watermark passes
+    its end (state evicted), and a late row arriving in a LATER batch is
+    dropped — it neither re-emits nor resurrects the finalized window
+    (asserted in tests/test_streaming.py::test_watermark_drops_late_rows;
+    note Spark merges a late row that lands in the SAME batch as the
+    eviction — the watermark is a bound on state, not a per-row filter
+    against the live maximum). This is how the engine bounds state for
+    late data instead of the reference's cumulative re-runs."""
     events = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
     agg = (
@@ -49,9 +65,9 @@ def stream_hourly_counts(
         )
     )
     return (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
-        .queryName("hourly_counts")
+        .queryName(query_name)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

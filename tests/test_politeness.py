@@ -180,3 +180,26 @@ def test_admission_equals_plain_window_property(spark, case):
     assert sorted(r["id"] for r in dfr.collect()) == sorted(
         r["id"] for r in dfr0.collect()
     )
+
+
+def test_robots_parser_round_trip(spark):
+    """parse_robots_bodies over rendered robots.txt BODIES (with comments,
+    foreign-agent groups, Allow lines, mixed-case directives) reproduces
+    the gen_robots cache table exactly — raw-source S21/U9 fidelity."""
+    from webcrawl_lowres_lang_spark.operators.politeness import (
+        _parse_robots_body,
+        parse_robots_bodies,
+    )
+
+    want = sorted(map(tuple, fx.gen_robots(spark, 42, 40).collect()))
+    got = sorted(
+        map(tuple, parse_robots_bodies(fx.gen_robots_bodies(spark, 42, 40)).collect())
+    )
+    assert got == want
+    # unit edges: named group beats *, missing file, malformed delay
+    assert _parse_robots_body(
+        "User-agent: lrl-crawler\nDisallow:\nCrawl-delay: 1.5\n\n"
+        "User-agent: *\nDisallow: /x\n"
+    ) == (False, 1.5)
+    assert _parse_robots_body("") == (False, 0.0)
+    assert _parse_robots_body("User-agent: *\nCrawl-delay: fast") == (False, 0.0)

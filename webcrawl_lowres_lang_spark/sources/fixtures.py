@@ -297,6 +297,42 @@ def gen_robots(spark: SparkSession, seed: int, n_hosts: int = N_HOSTS_DEFAULT) -
     )
 
 
+def render_robots_txt(host: str, respect_disallow: bool, crawl_delay: float, hid: int) -> str:
+    """A realistic robots.txt BODY carrying the same facts as the cache
+    row — with deterministic noise (comments, foreign-agent groups, Allow
+    lines, mixed-case directives, stray blank lines) so the parser
+    (operators/politeness.parse_robots_bodies) is exercised on messy
+    input, not a canonical rendering. Round-trip parity is a test gate."""
+    ua = "User-agent" if hid % 2 == 0 else "USER-AGENT"
+    dis = "Disallow" if hid % 3 != 0 else "disallow"
+    lines = [
+        f"# robots.txt for {host}",
+        "User-agent: MegaBot",
+        "Disallow: /",
+        "Crawl-delay: 99",
+        "",
+        f"{ua}: *",
+    ]
+    if respect_disallow:
+        lines.append(f"{dis}: /gallery/   # galleries are off-limits")
+    if crawl_delay:
+        delay = int(crawl_delay) if float(crawl_delay).is_integer() else crawl_delay
+        lines.append(f"Crawl-delay: {delay}")
+    lines += ["Allow: /static/", ""]
+    return "\n".join(lines)
+
+
+def gen_robots_bodies(spark: SparkSession, seed: int, n_hosts: int = N_HOSTS_DEFAULT) -> DataFrame:
+    """(host, body) robots.txt fetch results — the raw-source twin of
+    gen_robots's parsed cache (reference: per-URL robotparser evaluation,
+    lrl-crawler.py:173-182)."""
+    rows = [
+        (r["host"], render_robots_txt(r["host"], r["respect_disallow"], r["crawl_delay"], hid))
+        for hid, r in enumerate(gen_robots_rows(seed, n_hosts))
+    ]
+    return spark.createDataFrame(rows, "host string, body string")
+
+
 def gen_lexicon(spark: SparkSession, seed: int, n_terms: int = 64) -> DataFrame:
     return spark.createDataFrame(gen_lexicon_rows(seed, n_terms), "term string, freq long")
 

@@ -112,7 +112,14 @@ class CrawlEngine:
         # fixture tables: built once, cached — the closed "web"
         self.links = fx.gen_link_graph(spark, c.seed, c.n_urls, c.n_hosts, c.n_pages).cache()
         self.pages = fx.gen_pages(spark, c.seed, c.n_pages, [t for t, _ in self.lex_rows]).cache()
-        self.robots = fx.gen_robots(spark, c.seed, c.n_hosts).cache()
+        # the politeness cache is PARSED from raw robots.txt bodies (S21/
+        # U9 production path — reference lrl-crawler.py:173-182); the
+        # parser's round-trip vs the parsed fixture is its own test gate
+        from ..operators.politeness import parse_robots_bodies
+
+        self.robots = parse_robots_bodies(
+            fx.gen_robots_bodies(spark, c.seed, c.n_hosts)
+        ).cache()
         self.outlinks = fx.gen_outlinks(spark, c.seed, c.n_urls).cache()
 
         self.seen = SeenSet(

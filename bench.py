@@ -69,6 +69,53 @@ def hw_mops() -> float:
     return round(total / 1e6, 1)
 
 
+TENX_OPS = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "text_langid_ngram",
+    "text_fingerprint",
+    "dedup_embedding_lsh",
+    "ann_bruteforce_topk",
+]
+
+
+def _build_tenx_corpus(spark, sf_dir: str, out_dir: str, factor: int = 10) -> None:
+    """Materialize a ``factor``x replica corpus of the documents and
+    embeddings tables: replica r offsets ids by r*10^7 and perturbs text
+    (a replica-tag token appended) so replicas are near- but not
+    exact-duplicates — the same construction as BASELINE.md's round-3 10x
+    table, now driver-reproducible."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    reps = spark.range(factor).select(F.col("id").alias("__rep"))
+    big_docs = (
+        docs.crossJoin(F.broadcast(reps))
+        .withColumn("doc_id", F.col("doc_id") + F.col("__rep") * F.lit(10_000_000))
+        .withColumn(
+            "text",
+            F.when(F.col("__rep") == 0, F.col("text")).otherwise(
+                F.concat_ws(" ", F.col("text"), F.concat(F.lit("rep"), F.col("__rep")))
+            ),
+        )
+        .drop("__rep")
+    )
+    big_docs.repartition(DEFAULT_CPUS).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    big_emb = (
+        emb.crossJoin(F.broadcast(reps))
+        .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * F.lit(10_000_000))
+        .drop("__rep")
+    )
+    big_emb.repartition(DEFAULT_CPUS).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -76,18 +123,28 @@ def main() -> None:
     spark = get_spark(app_name="bench", master=f"local[{DEFAULT_CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup on the small sf so headline timings measure the
-    # queries, not first-query session initialization. Each headline plan
-    # runs once at sf0.001 (trivial data) so janino whole-stage-codegen
-    # compilation of the plan shape — a once-per-plan JVM cost, not query
-    # work — is paid before the timed sf runs.
-    #
     # shuffle partitions = cores for the sf0.1 suite: one task wave per
     # shuffle. The 3x-cores default exists for skewed/straggler-prone
     # stages; at this data volume the extra tasks are pure scheduling
     # overhead (measured: whole suite 9.0s at 32 vs 10.5s at 96). On a
     # real cluster AQE's advisory partition sizing governs instead.
     spark.conf.set("spark.sql.shuffle.partitions", str(DEFAULT_CPUS))
+
+    # COLD pass first: the full suite at sf_dir with nothing warmed —
+    # session init, janino codegen, OS page cache all included. Recorded
+    # as value_cold so round-over-round deltas can separate real plan work
+    # from measurement hygiene (the warmed number below is the headline).
+    cold_timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(REGISTRY[name].fn(spark, sf_dir))
+        cold_timings[name] = round(time.perf_counter() - t0, 3)
+    value_cold = round(sum(cold_timings.values()), 3)
+
+    # JVM/codegen warmup at sf0.001: each headline plan shape compiles once
+    # on trivial data so the timed runs measure query work, not
+    # once-per-plan JVM costs. (After the cold pass this is near-free but
+    # keeps the warmed methodology identical to round 3.)
     for name in HEADLINE:
         _force(REGISTRY[name].fn(spark, "/root/testdata/sf0.001"))
 
@@ -98,31 +155,66 @@ def main() -> None:
         _force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # 10x data-volume leg (BASELINE.md's scale-ratio table, now emitted by
+    # the driver bench itself): replica-expanded documents/embeddings, the
+    # eight heavy operators, same warmed methodology. Disable with
+    # SPARK_GRAFT_SF10X=0.
+    tenx: dict[str, object] = {}
+    if os.environ.get("SPARK_GRAFT_SF10X", "1") != "0":
+        # sf-dir reference timings for the TENX ops outside the headline
+        # suite (warmed the same way) so every ratio has a denominator
+        sf_timings = dict(timings)
+        for name in TENX_OPS:
+            if name not in sf_timings:
+                _force(REGISTRY[name].fn(spark, "/root/testdata/sf0.001"))
+                t0 = time.perf_counter()
+                _force(REGISTRY[name].fn(spark, sf_dir))
+                sf_timings[name] = round(time.perf_counter() - t0, 3)
+        with tempfile.TemporaryDirectory() as tenx_dir:
+            t0 = time.perf_counter()
+            _build_tenx_corpus(spark, sf_dir, tenx_dir)
+            build_secs = round(time.perf_counter() - t0, 3)
+            tenx_timings: dict[str, float] = {}
+            for name in TENX_OPS:
+                t0 = time.perf_counter()
+                _force(REGISTRY[name].fn(spark, tenx_dir))
+                tenx_timings[name] = round(time.perf_counter() - t0, 3)
+            tenx = {
+                "factor": 10,
+                "build_secs": build_secs,
+                "sf_queries": {n: sf_timings[n] for n in TENX_OPS if n in sf_timings},
+                "queries": tenx_timings,
+                "ratio_vs_sf": {
+                    n: round(tenx_timings[n] / sf_timings[n], 2)
+                    for n in TENX_OPS
+                    if sf_timings.get(n, 0) > 0
+                },
+            }
+
     # crawl-engine throughput (north metric: URLs/sec through
-    # frontier-scheduling + fetch under politeness budget)
+    # frontier-scheduling + fetch under politeness budget). hw_mops is
+    # sampled IMMEDIATELY around the crawl so the capacity window is
+    # attributable to this phase, not the whole bench.
     from webcrawl_lowres_lang_spark.streaming.crawler import CrawlConfig, CrawlEngine
 
-    # crawl rounds are many small jobs — size partitions to round volume,
-    # not to the big-scan default (3x cores), or task scheduling dominates
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(DEFAULT_CPUS))
-    try:
-        with tempfile.TemporaryDirectory() as td:
-            t0 = time.perf_counter()
-            eng = CrawlEngine(spark, CrawlConfig(**CRAWL_BENCH), td)
-            eng.run()
-            crawl_secs = time.perf_counter() - t0
-            fetched = eng.ledger_df().count()
-            seen_total = eng.seen.count()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    hw_crawl_before = hw_mops()
+    with tempfile.TemporaryDirectory() as td:
+        t0 = time.perf_counter()
+        eng = CrawlEngine(spark, CrawlConfig(**CRAWL_BENCH), td)
+        eng.run()
+        crawl_secs = time.perf_counter() - t0
+        fetched = eng.ledger_df().count()
+        seen_total = eng.seen.count()
+    hw_crawl_after = hw_mops()
 
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline-suite-seconds",
         "value": total,
         "unit": "sec",
+        "value_cold": value_cold,
         "queries": timings,
+        "queries_cold": cold_timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "crawl": {
             "urls_fetched": fetched,
@@ -130,11 +222,15 @@ def main() -> None:
             "rounds": CRAWL_BENCH["rounds"],
             "secs": round(crawl_secs, 3),
             "urls_per_sec": round(fetched / crawl_secs, 2),
+            # capacity window bracketing the crawl phase specifically
+            "hw_mops": {"before": hw_crawl_before, "after": hw_crawl_after},
         },
         "cpus": DEFAULT_CPUS,
         # contemporaneous pure-CPU capacity samples (sandbox VM drifts ~3x)
         "hw_mops": {"before": hw_before, "after": hw_mops()},
     }
+    if tenx:
+        out["tenx"] = tenx
     print(json.dumps(out))
 
 

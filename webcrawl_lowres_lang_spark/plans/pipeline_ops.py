@@ -1162,8 +1162,17 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(F.expr("transform(sequence(1, greatest(length(tok) - 2, 0)), i -> substr(tok, i, 3))")).alias("g"),
     )
-    profile = grams.groupBy(F.col("lang").alias("plang"), "g").agg(F.count("*").alias("pc"))
-    docg = grams.groupBy("doc_id", "g").agg(F.count("*").alias("dc"))
+    # ONE aggregation over the exploded subtree, CACHED: `grams` used to
+    # feed `profile` and `docg` directly, so the tokenize+double-explode
+    # branch executed twice (two aggregates over one un-materialized
+    # subtree — the recompute disease). A doc has exactly one lang, so the
+    # slim (doc_id, lang, g, dc) counts are simultaneously the per-doc
+    # vector (docg) and, re-aggregated over docs, the per-lang profile —
+    # the cache holds post-shuffle aggregated rows, orders of magnitude
+    # smaller than the raw gram stream.
+    gcounts = grams.groupBy("doc_id", "lang", "g").agg(F.count("*").alias("dc")).persist()
+    profile = gcounts.groupBy(F.col("lang").alias("plang"), "g").agg(F.sum("dc").alias("pc"))
+    docg = gcounts.select("doc_id", "g", "dc")
     dots = (
         docg.join(profile, "g")
         .groupBy("doc_id", "plang")
@@ -1331,10 +1340,13 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_sess",
         F.when(F.expr("ts - __prev_ts > INTERVAL '30' MINUTE"), 1).otherwise(0),
     )
-    sess = gapped.withColumn(
-        "sess_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    return sess.groupBy("user_id").agg(
-        F.countDistinct("sess_id").cast("long").alias("n_sessions"),
+    # n_sessions needs no session-id materialization at all: sess_id is a
+    # running sum of new_sess starting at 0, so the number of DISTINCT
+    # session ids per user is exactly 1 + sum(new_sess). Same semantics as
+    # the oracle's COUNT(DISTINCT sess_id) (kept as-is for independence),
+    # but a plain partial-aggregable sum — no distinct expand, no second
+    # window pass.
+    return gapped.groupBy("user_id").agg(
+        (F.lit(1) + F.sum("new_sess")).cast("long").alias("n_sessions"),
         F.count("*").alias("n_events"),
     )

@@ -149,6 +149,16 @@ def page_row(seed: int, k: int, lex_words: list[str]) -> dict:
     }
 
 
+def _gen_parts(spark: SparkSession, n_rows: int, rows_per_task: int) -> int:
+    """Partition count for a generator scan, sized to the work per row
+    rather than inherited from ``spark.default.parallelism``: a 30k-row
+    table on 96 default partitions is ~300 rows/task — pure scheduling
+    overhead on every downstream stage that reads the cached layout. Capped
+    at default parallelism so huge n still fans out cluster-wide."""
+    cap = max(1, spark.sparkContext.defaultParallelism)
+    return max(2, min(cap, -(-n_rows // rows_per_task)))
+
+
 def gen_pages(spark: SparkSession, seed: int, n: int, lex_words: list[str]) -> DataFrame:
     lex = list(lex_words)
 
@@ -157,7 +167,10 @@ def gen_pages(spark: SparkSession, seed: int, n: int, lex_words: list[str]) -> D
             rows = [page_row(seed, int(k), lex) for k in b["id"]]
             yield pd.DataFrame(rows)
 
-    return spark.range(n).mapInPandas(gen, PAGES_SCHEMA)
+    # image render+encode per row is the expensive generator — small tasks
+    return spark.range(n, numPartitions=_gen_parts(spark, n, 16)).mapInPandas(
+        gen, PAGES_SCHEMA
+    )
 
 
 # --- link graph / synthetic web ------------------------------------------------
@@ -225,7 +238,9 @@ def gen_link_graph(
         for b in batches:
             yield pd.DataFrame([url_row(seed, int(k), n_hosts, n_pages) for k in b["id"]])
 
-    return spark.range(n_urls).mapInPandas(gen, LINKS_SCHEMA)
+    return spark.range(n_urls, numPartitions=_gen_parts(spark, n_urls, 4000)).mapInPandas(
+        gen, LINKS_SCHEMA
+    )
 
 
 # --- discovery: search results + outlinks ---------------------------------------
@@ -264,7 +279,9 @@ def gen_outlinks(spark: SparkSession, seed: int, n_urls: int) -> DataFrame:
             ]
             yield pd.DataFrame(rows, columns=["url_id", "dst"])
 
-    return spark.range(n_urls).mapInPandas(gen, OUTLINKS_SCHEMA)
+    return spark.range(n_urls, numPartitions=_gen_parts(spark, n_urls, 4000)).mapInPandas(
+        gen, OUTLINKS_SCHEMA
+    )
 
 
 # --- robots fixtures --------------------------------------------------------------

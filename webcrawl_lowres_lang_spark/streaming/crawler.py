@@ -193,7 +193,16 @@ class CrawlEngine:
     # -- one round -------------------------------------------------------------
 
     def run_round(self, frontier: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """-> (ledger_with_order, next_frontier)"""
+        """-> (ledger_with_order, next_frontier)
+
+        ORDERING CONTRACT: callers driving rounds manually (tests,
+        alternative drivers) must call ``_checkpoint(ledger, frontier)``
+        between ``run_round`` calls — T4's "a 429-limited domain is
+        exhausted for the rest of the crawl" is applied there (the 429
+        domain set is observed on the checkpoint's ledger write, then
+        folded into ``self.blocked_domains`` before the next round's
+        admission reads it). Skipping the checkpoint silently drops that
+        semantics; ``run()`` always interleaves them."""
         c = self.cfg
         p = with_priority(frontier)
         p = robots_filter(p, self.robots)
@@ -213,7 +222,10 @@ class CrawlEngine:
         else:
             held = None
             p_active = p
-        admitted, deferred = admit_per_domain(p_active, self.robots, c.host_budget)
+        adm_caches: list[DataFrame] = []
+        admitted, deferred = admit_per_domain(
+            p_active, self.robots, c.host_budget, caches=adm_caches
+        )
 
         scored = fetch_and_validate(admitted, self.links, self.pages, c.seed, c.validate_pixels)
         scored = scored.withColumn(
@@ -259,7 +271,7 @@ class CrawlEngine:
         next_frontier = deferred.select(*fresh.columns).unionByName(fresh)
         if held is not None:
             next_frontier = next_frontier.unionByName(held.select(*fresh.columns))
-        self._round_caches = [p, scored, fresh, *seq_caches]  # unpersisted after checkpoint
+        self._round_caches = [p, scored, fresh, *adm_caches, *seq_caches]  # unpersisted after checkpoint
         return ledger, next_frontier
 
     def _reps_path(self) -> str:
@@ -347,10 +359,13 @@ class CrawlEngine:
         overwrite_table(frontier, os.path.join(self.dir, f"frontier/r{r}"))
         # maintain the phash-representative side table: one (order_key,
         # phash) row per phash value first seen this round (order_keys are
-        # monotone in round, so appends never supersede an existing rep)
-        led = read_table(self.spark, os.path.join(self.dir, f"ledger/r{r}"))
+        # monotone in round, so appends never supersede an existing rep).
+        # Derived from the CACHED in-memory ledger — re-reading the
+        # just-written parquet cost a second full-ledger scan per round
+        # (the r3 formulation); the prior-reps anti-join side stays a lazy
+        # slim parquet scan inside this one append job.
         new_reps = (
-            led.filter(F.col("phash").isNotNull())
+            ledger.filter(F.col("phash").isNotNull())
             .groupBy("phash")
             .agg(F.min("order_key").alias("order_key"))
         )
@@ -359,18 +374,17 @@ class CrawlEngine:
             new_reps = new_reps.join(prior, "phash", "left_anti")
         append_table(new_reps.select("order_key", "phash"), self._reps_path())
         # per-partition lineage + frontier metrics (north rule) from the
-        # WRITTEN snapshot — never re-executes the round plan
-        fr = read_table(self.spark, os.path.join(self.dir, f"frontier/r{r}"))
-        part_rows = (
-            fr.withColumn("__pid", F.spark_partition_id()).groupBy("__pid").count().collect()
-        )
+        # WRITTEN snapshot's parquet footers — zero Spark jobs (each file
+        # is one writer task's output; row counts come from file metadata,
+        # exactly what an Iceberg snapshot's manifest records per file)
+        parts = _parquet_file_rows(os.path.join(self.dir, f"frontier/r{r}"))
         m = {
             "round": r,
             "fetched": int(led_stats["fetched"]),
             "fetched_ok": int(led_stats["ok"] or 0),
-            "frontier_pending": int(sum(x["count"] for x in part_rows)),
+            "frontier_pending": int(sum(c for _, c in parts)),
             "seen_total": self._seen_total,
-            "partitions": sorted([(int(x["__pid"]), int(x["count"])) for x in part_rows]),
+            "partitions": parts,
             "blocked_domains": sorted(self.blocked_domains),
             "config": asdict(self.cfg),
             # the EFFECTIVE lexicon (incl. a bootstrap phase's grown
@@ -417,6 +431,20 @@ class CrawlEngine:
 
     def ledger_df(self) -> DataFrame:
         return read_table(self.spark, os.path.join(self.dir, "ledger/r*"))
+
+
+def _parquet_file_rows(path: str) -> list[tuple[int, int]]:
+    """[(file_index, num_rows)] for a written snapshot dir, straight from
+    parquet footers — the driver-side metadata read Iceberg manifests give
+    for free; no Spark job. Files sort by name (part-00000… encodes the
+    writer task id), so the index is the writer-partition id."""
+    import pyarrow.parquet as pq
+
+    files = sorted(n for n in os.listdir(path) if n.endswith(".parquet"))
+    return [
+        (i, pq.ParquetFile(os.path.join(path, n)).metadata.num_rows)
+        for i, n in enumerate(files)
+    ]
 
 
 def fetch_order(ledger: DataFrame) -> list[tuple[int, str]]:

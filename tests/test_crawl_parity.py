@@ -202,3 +202,93 @@ def test_cuckoo_filter_crawl_identical(spark, tmp_path):
         eng.run()
         out[kind] = (fetch_order(eng.ledger_df()), eng.seen.count())
     assert out["bloom"] == out["cuckoo"]
+
+
+def test_ttl_expire_recrawl_cuckoo(spark, tmp_path):
+    """END-TO-END TTL re-crawl (the cuckoo filter's reason to exist): after
+    a 2-round crawl, expire one domain's fetched URLs; the next round must
+    re-admit and re-fetch exactly those URLs — with seen_filter='cuckoo'
+    the live filter drops their fingerprints in O(1) (no rebuild), and
+    everything else stays seen. Deletes are driven from the exact table
+    (SeenSet.expire semi-joins first), never from the filter itself."""
+    from pyspark.sql import functions as F
+
+    from webcrawl_lowres_lang_spark.streaming.crawler import CrawlConfig, CrawlEngine
+
+    cfg = CrawlConfig(
+        seed=42, n_urls=800, n_pages=80, n_hosts=24, query_count=3,
+        num_search_pages=2, host_budget=50, rounds=2, validate_pixels=False,
+        seen_filter="cuckoo",
+    )
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "ck"))
+    eng.run()
+    led = eng.ledger_df().filter(F.col("status").isNotNull())
+    dom = led.groupBy("domain").count().orderBy(F.desc("count"), "domain").first()["domain"]
+    expired_rows = led.filter(F.col("domain") == dom).select(
+        "url_id", "url_hash", "depth"
+    ).cache()
+    expired_hashes = {r["url_hash"] for r in expired_rows.collect()}
+    assert len(expired_hashes) >= 2
+
+    seen_before = eng.seen.count()
+    removed = eng.expire_urls(expired_rows)
+    assert removed == len(expired_hashes)
+    assert eng.seen.count() == seen_before - removed
+
+    # re-queue the expired URLs (the TTL scheduler's job) and run a round
+    disc = expired_rows.select(
+        "url_id", F.col("depth"), F.lit(0.0).alias("relevance")
+    )
+    resolved = eng._resolve_discoveries(disc)
+    fresh = eng.seen.filter_unseen(resolved)
+    refetch_hashes = {r["url_hash"] for r in fresh.select("url_hash").collect()}
+    assert refetch_hashes == expired_hashes  # re-admitted, nothing else
+
+    eng.seen.add(fresh.select("url_hash"), assume_new=True)
+    start_round = eng.round
+    # several rounds: per-HOST effective budgets (crawl_delay scaled) can
+    # defer part of a multi-host domain's rows past the first round
+    eng.run(frontier=fresh, rounds=4)
+    refetched = {
+        r["url_hash"]
+        for r in eng.ledger_df()
+        .filter(F.col("round") >= start_round)
+        .select("url_hash")
+        .collect()
+    }
+    # everything expired is re-fetched, and nothing else (all other
+    # discoveries are still in the seen set)
+    assert refetched == expired_hashes
+
+    # a non-expired URL stays seen: filter_unseen drops it
+    other = led.filter(F.col("domain") != dom).select("url_id", "url_hash", "depth").limit(5)
+    still_seen = eng.seen.filter_unseen(eng._resolve_discoveries(
+        other.select("url_id", "depth", F.lit(0.0).alias("relevance"))
+    ))
+    assert still_seen.count() == 0
+
+
+def test_ttl_expire_bloom_requires_rebuild(spark, tmp_path):
+    """The Bloom path supports expire too, but by REBUILDING the filter
+    from the rewritten exact table (bits cannot be cleared) — the
+    documented cost the cuckoo path avoids."""
+    from pyspark.sql import functions as F
+
+    from webcrawl_lowres_lang_spark.streaming.crawler import CrawlConfig, CrawlEngine
+
+    cfg = CrawlConfig(
+        seed=42, n_urls=400, n_pages=40, n_hosts=12, query_count=2,
+        num_search_pages=2, host_budget=8, rounds=1, validate_pixels=False,
+        seen_filter="bloom",
+    )
+    eng = CrawlEngine(spark, cfg, str(tmp_path / "ck"))
+    eng.run()
+    led = eng.ledger_df().filter(F.col("status").isNotNull())
+    rows = led.select("url_id", "url_hash", "depth").limit(3).cache()
+    hashes = {r["url_hash"] for r in rows.collect()}
+    removed = eng.expire_urls(rows)
+    assert removed == len(hashes)
+    fresh = eng.seen.filter_unseen(eng._resolve_discoveries(
+        rows.select("url_id", "depth", F.lit(0.0).alias("relevance"))
+    ))
+    assert {r["url_hash"] for r in fresh.select("url_hash").collect()} == hashes

@@ -78,3 +78,47 @@ def test_ivf_nprobe_knob_improves_recall(spark):
     assert all(r2[q] >= r1[q] for q in r1)
     assert sum(r2.values()) / 5 >= sum(r1.values()) / 5
     assert sum(r2.values()) / 5 >= 0.9
+
+
+def test_emb_lsh_width_scales_with_corpus(spark, tmp_path):
+    """The embedding-LSH per-band width must grow with the corpus so mean
+    bucket occupancy stays bounded (the round-3 fixed 16-bit signature
+    packed a 10x corpus into the same 512 buckets and candidate pairs grew
+    superlinearly). Builds the band table at 1x and 10x the sf0.001
+    embeddings table and asserts (a) bb grows, (b) mean occupancy stays
+    within 4x of the design target at BOTH sizes."""
+    from pyspark.sql import functions as F
+
+    from webcrawl_lowres_lang_spark.plans.pipeline_ops import (
+        _EMB_OCC_TARGET,
+        emb_band_bits,
+        emb_band_table,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    reps = spark.range(10).select(F.col("id").alias("__rep"))
+    big = (
+        base.crossJoin(F.broadcast(reps))
+        .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * F.lit(10_000_000))
+        .drop("__rep")
+    )
+    big_path = str(tmp_path / "emb10x.parquet")
+    big.write.parquet(big_path)
+    big = spark.read.parquet(big_path)
+
+    occ = {}
+    bbs = {}
+    for tag, df in (("1x", base), ("10x", big)):
+        bands, bb = emb_band_table(df)
+        bbs[tag] = bb
+        stats = bands.groupBy("band_idx", "band_val").count().agg(
+            F.avg("count").alias("mean_occ")
+        ).collect()[0]
+        occ[tag] = float(stats["mean_occ"])
+    assert bbs["10x"] > bbs["1x"]
+    assert bbs["1x"] == emb_band_bits(2 * base.count())
+    for tag in ("1x", "10x"):
+        # replicas collide by construction (identical vectors share every
+        # band), so allow 4x the design target — the invariant is that
+        # occupancy does NOT grow ~10x with the corpus
+        assert occ[tag] <= 4 * _EMB_OCC_TARGET, (tag, occ)

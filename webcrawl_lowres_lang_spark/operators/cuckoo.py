@@ -71,16 +71,23 @@ def _fp_hash(fp: np.ndarray) -> np.ndarray:
 
 
 class CuckooShard:
-    """One shard's (buckets x SLOTS) uint16 table + overflow set."""
+    """One shard's (buckets x SLOTS) uint16 table + overflow MULTISET.
+
+    The overflow is a Counter of (bucket, fp) pairs, not a set: two
+    saturation-overflowed keys colliding on the same pair must keep
+    multiplicity 2, or one ``delete_many`` would silently remove
+    membership for both — a pre-filter false negative under deletion."""
 
     __slots__ = ("table", "mask", "overflow")
 
     def __init__(self, n_buckets: int, table: np.ndarray | None = None):
+        from collections import Counter
+
         self.table = (
             table if table is not None else np.zeros((n_buckets, SLOTS), dtype=np.uint16)
         )
         self.mask = np.uint64(n_buckets - 1)
-        self.overflow: set[tuple[int, int]] = set()  # (i1, fp) pairs
+        self.overflow: "Counter[tuple[int, int]]" = Counter()  # (i1, fp) -> copies
 
     # -- index math ---------------------------------------------------------
 
@@ -116,7 +123,7 @@ class CuckooShard:
                 return
         # table saturated: never forget a key — overflow keeps exactness
         io1 = int(self._alt(np.array([i]), np.array([cur], dtype=np.uint16))[0])
-        self.overflow.add((min(i, io1), int(cur)))
+        self.overflow[(min(i, io1), int(cur))] += 1
 
     def _bulk_place(self, i1s: np.ndarray, fps: np.ndarray) -> np.ndarray:
         """Vectorized fast path: place keys whose PRIMARY bucket has a
@@ -171,7 +178,15 @@ class CuckooShard:
             self._place(i1, fp, max_kicks, (i1 * 31 + fp) & 0xFFFFFFFF)
 
     def delete_many(self, keys: np.ndarray) -> int:
-        """Remove ONE fingerprint copy per key present; returns removals."""
+        """Remove ONE fingerprint copy per key present; returns removals.
+
+        CLASSIC CUCKOO DELETION CAVEAT — only safe for keys KNOWN to have
+        been inserted: deleting a never-inserted key whose 16-bit
+        fingerprint collides with a resident's in the same bucket pair
+        evicts the resident's fingerprint, creating a pre-filter false
+        negative. Callers must drive deletes from ground truth
+        (SeenSet.expire semi-joins the exact backing table first) — never
+        from the filter's own might_contain."""
         if len(keys) == 0:
             return 0
         fps = _fingerprints(keys)
@@ -180,8 +195,10 @@ class CuckooShard:
         removed = 0
         for i1, i2, fp in zip(i1s.tolist(), alts.tolist(), fps.tolist()):
             key = (min(i1, i2), fp)
-            if key in self.overflow:
-                self.overflow.discard(key)
+            if self.overflow.get(key, 0) > 0:
+                self.overflow[key] -= 1
+                if not self.overflow[key]:
+                    del self.overflow[key]
                 removed += 1
                 continue
             for i in (i1, i2):
@@ -229,7 +246,9 @@ class CuckooShard:
             # call, and might_contain is unaffected — exactness is owned
             # by the backing table, as with the Bloom
             self._place(i, fp, 500, (i * 31 + fp) & 0xFFFFFFFF)
-        self.overflow |= other.overflow
+        # Counter.update ADDS counts — a plain set-union would collapse
+        # multiplicity and break delete-by-copy
+        self.overflow.update(other.overflow)
         return self
 
 

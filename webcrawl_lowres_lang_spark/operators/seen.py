@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, LongType, StructField, StructType
 
-from ..sources.tablestore import append_table, read_table, table_exists
+from ..sources.tablestore import append_table, read_table, rewrite_table, table_exists
 from .bloom import BloomConfig, PartitionedBloom, build_bloom_from_df
 from .cuckoo import CuckooConfig, PartitionedCuckoo, build_cuckoo_from_df
 
@@ -175,7 +175,16 @@ class SeenSet:
             .cache()
         )
         append_table(out, self.path, partition_by=("bucket",))
-        n = int(obs.get["n"])
+        try:
+            n = int(obs.get["n"])
+        except Exception:
+            # AQE's runtime empty-relation propagation can replace the
+            # whole subtree above the bucket shuffle — including the
+            # CollectMetrics node — when the batch turns out empty at
+            # runtime, leaving the Observation unfired. The count on the
+            # (already materialized) cache is the cheap, always-correct
+            # fallback.
+            n = out.count()
         if self._bloom is not None and n:
             build_parts = max(1, min(self.n_buckets, 1 + n // 250_000))
             delta = self._build_filter_from_df(out.coalesce(build_parts))
@@ -183,6 +192,51 @@ class SeenSet:
             self._rebroadcast()
         out.unpersist()
         return n
+
+    def expire(self, keys: DataFrame) -> int:
+        """TTL re-crawl / host retraction (reference analog: the bulk
+        reset ops, sql.py:312-334): remove ``url_hash`` keys from the seen
+        set so they are admitted again. Returns keys actually removed.
+
+        Deletes are driven FROM THE EXACT TABLE — the batch is first
+        semi-joined against the store, and only verified-present keys are
+        deleted from the live filter. This is the classic cuckoo deletion
+        caveat (cuckoo.py delete_many): deleting a never-inserted key
+        whose fingerprint collides with a resident's would evict the
+        resident and break the no-false-negative guarantee; the filter's
+        own might_contain is NOT ground truth, the table is.
+
+        Filter handling: 'cuckoo' drops the fingerprints in O(1) per key
+        — its reason to exist; 'bloom' cannot clear bits, so the filter
+        is REBUILT from the rewritten table (the full-scan cost cuckoo
+        avoids). The exact table rewrite is the tablestore seam's
+        row-level DELETE (Iceberg: rewrite affected files + snapshot).
+
+        The expiry batch is collected to the driver for the filter
+        delete — bounded by policy (one host / one TTL window), never by
+        crawl size; the table rewrite itself stays distributed.
+        """
+        present = (
+            self._with_bucket(keys.select("url_hash").distinct())
+            .join(self.load().select("bucket", "url_hash"), ["bucket", "url_hash"], "left_semi")
+            .cache()
+        )
+        hashes = [r["url_hash"] for r in present.select("url_hash").collect()]
+        if not hashes:
+            present.unpersist()
+            return 0
+        remaining = self.load().join(present, ["bucket", "url_hash"], "left_anti")
+        rewrite_table(remaining, self.path, partition_by=("bucket",))
+        present.unpersist()
+        if self._bloom is not None:
+            if self.filter_kind == "cuckoo":
+                import numpy as np
+
+                self._bloom.delete_many(np.array(hashes, dtype=np.int64))
+                self._rebroadcast()
+            else:
+                self.build_bloom()
+        return len(hashes)
 
     # -- bloom lifecycle -------------------------------------------------------
 

@@ -614,13 +614,27 @@ def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer math: cos(a,b) >= 0.8 <=> dot > 0 AND 100*dot^2 >= 64*|a|^2*|b|^2
 # (movable to any rational threshold) — no float anywhere, so both engines
 # agree bit-for-bit.
-_EMB_H = 16  # hyperplanes -> 16-bit signature
-_EMB_BANDS = 2  # 2 bands of 8 bits (band loops below derive from this)
-_EMB_BAND_W = _EMB_H // _EMB_BANDS
+#
+# SCALE-AWARE SIGNATURE WIDTH (closes BASELINE.md's round-3 6.9x flag):
+# per-band bit width bb is derived FROM THE CORPUS SIZE — the smallest bb
+# in [2, 16] with n <= 32 * 2^bb — so each band's bucket count tracks
+# n / 32 and mean bucket occupancy stays ~O(32) instead of packing 10x
+# the vectors into a fixed 2x256 buckets (candidate pairs grow with
+# occupancy^2). The ladder is exact integer logic, expressed identically
+# as Python (Spark side) and a CASE ladder over a COUNT(*) scalar
+# subquery (DuckDB side) — no float log2 on either engine, so both always
+# derive the same width. The 16-bit cap is the sandbox bound tied to
+# _EMB_MAX_H = 32 generated planes; at 10^10 vectors you raise the cap
+# and let the same plane generator emit log2(n)+~10 rows (band COUNT
+# could scale too to hold recall; 2 bands is the sandbox setting).
+_EMB_BANDS = 2
+_EMB_MAX_BB = 16
+_EMB_MAX_H = _EMB_BANDS * _EMB_MAX_BB
+_EMB_OCC_TARGET = 32  # design mean bucket occupancy per band
 _EMB_DIM = 64
 _EMB_PLANES: list[list[int]] = []
 _ps = 0xBEEF
-for _h in range(_EMB_H):
+for _h in range(_EMB_MAX_H):
     row = []
     for _d in range(_EMB_DIM):
         _ps = (_ps * 6364136223846793005 + 1442695040888963407) % 2**63
@@ -628,8 +642,79 @@ for _h in range(_EMB_H):
     _EMB_PLANES.append(row)
 
 
+def emb_band_bits(n_vectors: int) -> int:
+    """Smallest bb in [2, _EMB_MAX_BB] with n <= _EMB_OCC_TARGET * 2^bb."""
+    for bb in range(2, _EMB_MAX_BB + 1):
+        if n_vectors <= _EMB_OCC_TARGET << bb:
+            return bb
+    return _EMB_MAX_BB
+
+
 def _emb_plane_sql(row: list[int]) -> str:
     return "[" + ", ".join(str(p) for p in row) + "]"
+
+
+def _emb_corpus(base: DataFrame) -> DataFrame:
+    """(vec_id, qv): quantized corpus = originals + perturbed twins."""
+    q = F.transform(
+        F.col("embedding"), lambda x: F.floor(x.cast("double") * 1000).cast("long")
+    )
+    qs = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor((x.cast("double") + 0.05) * 1000).cast("long"),
+    )
+    return base.select("vec_id", q.alias("qv")).unionByName(
+        base.select((F.col("vec_id") + 1_000_000).alias("vec_id"), qs.alias("qv"))
+    )
+
+
+def emb_band_table(base: DataFrame) -> tuple[DataFrame, int]:
+    """(bands, bb): the (vec_id, band_idx, band_val) LSH band table over
+    the corpus built from ``base``, with the corpus-size-derived per-band
+    width bb. Only 2*bb of the _EMB_MAX_H plane dots are computed. BOTH
+    bands emerge from one explode over one sigs pass — a per-band union
+    would recompute the plane dots once per band, and an a/b band
+    self-join would double it again (alias-divergent branches defeat
+    ReusedExchange)."""
+    # metadata-only count (parquet footers) — the one scalar the plan needs
+    bb = emb_band_bits(2 * base.count())
+    corpus = _emb_corpus(base)
+
+    def isum(arr):
+        return F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
+
+    def plane_dot(row):
+        plane = F.array(*[F.lit(p) for p in row])
+        return isum(F.zip_with(F.col("qv"), plane, lambda a, b: a * b))
+
+    sigs = corpus.select(
+        "vec_id",
+        *[
+            (plane_dot(_EMB_PLANES[h]) >= 0).alias(f"b{h}")
+            for h in range(_EMB_BANDS * bb)
+        ],
+    )
+
+    def band_val(b):
+        # absolute bit weights (1 << h) — matches the width-independent
+        # DuckDB band expression; equality classes are weight-invariant
+        out = F.lit(0).cast("long")
+        for h in range(b * bb, (b + 1) * bb):
+            out = out + F.when(F.col(f"b{h}"), F.lit(1 << h)).otherwise(F.lit(0))
+        return out
+
+    bands = sigs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), band_val(b).alias("band_val"))
+                    for b in range(_EMB_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band_idx", "bb.band_val")
+    return bands, bb
 
 
 _EMB_CORPUS_SQL = """
@@ -647,11 +732,27 @@ _EMB_BITS_SQL = ", ".join(
     f"i -> qv[i] * ({_emb_plane_sql(row)})[i])) >= 0) AS b{h}"
     for h, row in enumerate(_EMB_PLANES)
 )
-_EMB_BAND_SQL = {
-    b: " + ".join(
-        f"(CASE WHEN b{h} THEN {1 << (h % _EMB_BAND_W)} ELSE 0 END)"
-        for h in range(b * _EMB_BAND_W, (b + 1) * _EMB_BAND_W)
+# same bb ladder as emb_band_bits, over a corpus-count scalar subquery
+_EMB_BB_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN (SELECT COUNT(*) FROM corpus) <= {_EMB_OCC_TARGET << bb} THEN {bb}"
+        for bb in range(2, _EMB_MAX_BB)
     )
+    + f" ELSE {_EMB_MAX_BB} END"
+)
+# band b holds planes [b*bb, (b+1)*bb), weighted by ABSOLUTE bit position
+# (1<<h): equality classes are unchanged by the weighting, and absolute
+# weights keep the SQL terms width-independent (terms outside the band's
+# range contribute 0 via the h-range CASE guard)
+_EMB_BAND_SQL = {
+    b: "("
+    + " + ".join(
+        f"(CASE WHEN b{h} AND {h} >= {b} * __bb AND {h} < {b + 1} * __bb "
+        f"THEN {1 << h} ELSE 0 END)"
+        for h in range(_EMB_MAX_H)
+    )
+    + ")"
     for b in range(_EMB_BANDS)
 }
 
@@ -660,15 +761,16 @@ _EMB_BAND_SQL = {
     "dedup_embedding_lsh",
     oracle=f"""
     WITH corpus AS ({_EMB_CORPUS_SQL}),
+    params AS (SELECT ({_EMB_BB_SQL}) AS __bb),
     sigs AS (
       SELECT vec_id, qv, {_EMB_BITS_SQL},
              CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
       FROM corpus
     ),
     bands AS (
-      SELECT vec_id, 0 AS band_idx, {_EMB_BAND_SQL[0]} AS band_val FROM sigs
+      SELECT vec_id, 0 AS band_idx, {_EMB_BAND_SQL[0]} AS band_val FROM sigs, params
       UNION ALL
-      SELECT vec_id, 1 AS band_idx, {_EMB_BAND_SQL[1]} AS band_val FROM sigs
+      SELECT vec_id, 1 AS band_idx, {_EMB_BAND_SQL[1]} AS band_val FROM sigs, params
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -694,67 +796,28 @@ _EMB_BAND_SQL = {
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # GENERAL embedding near-dup pairing (not just known candidate pairs):
-    # random-hyperplane LSH generates candidates — 16 deterministic ±1
-    # hyperplanes give a 16-bit sign signature; 2 bands of 8 bits bucket the
+    # random-hyperplane LSH generates candidates — deterministic ±1
+    # hyperplanes give a sign signature; 2 bands of bb bits bucket the
     # corpus; only bucket-sharing pairs are verified. Verification is exact
     # integer math (cos >= 0.8 <=> dot > 0 and 100*dot^2 >= 64*|a|^2*|b|^2),
     # so both engines agree bit-for-bit with no float accumulation.
+    #
+    # bb derives from the corpus size (emb_band_bits: smallest bb with
+    # n <= 32 * 2^bb, the same integer ladder the DuckDB twin evaluates
+    # over COUNT(*)), so only 2*bb of the _EMB_MAX_H plane dots are ever
+    # computed and mean bucket occupancy stays ~32 at ANY corpus size —
+    # the round-3 fixed-width formulation packed 10x the vectors into the
+    # same 512 buckets and candidate pairs grew superlinearly.
     #
     # Scale shape: the band table carries only (band_idx, band_val, vec_id);
     # vectors join back by id for verification — candidates never exceed
     # bucket-pair counts, and there is no all-pairs comparison anywhere.
     base = load(spark, sf_dir, "embeddings")
-    q = F.transform(
-        F.col("embedding"), lambda x: F.floor(x.cast("double") * 1000).cast("long")
-    )
-    qs = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor((x.cast("double") + 0.05) * 1000).cast("long"),
-    )
-    corpus = base.select("vec_id", q.alias("qv")).unionByName(
-        base.select((F.col("vec_id") + 1_000_000).alias("vec_id"), qs.alias("qv"))
-    )
+    corpus = _emb_corpus(base)
+    bands, _bb = emb_band_table(base)
 
     def isum(arr):
         return F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
-
-    def plane_dot(row):
-        plane = F.array(*[F.lit(p) for p in row])
-        return isum(F.zip_with(F.col("qv"), plane, lambda a, b: a * b))
-
-    sigs = corpus.select(
-        "vec_id",
-        "qv",
-        isum(F.transform("qv", lambda x: x * x)).alias("n2"),
-        *[(plane_dot(row) >= 0).alias(f"b{h}") for h, row in enumerate(_EMB_PLANES)],
-    )
-
-    def band_val(b):
-        out = F.lit(0)
-        for h in range(b * _EMB_BAND_W, (b + 1) * _EMB_BAND_W):
-            out = out + F.when(F.col(f"b{h}"), F.lit(1 << (h % _EMB_BAND_W))).otherwise(
-                F.lit(0)
-            )
-        return out
-
-    # BOTH bands emerge from one explode over one sigs pass — a per-band
-    # union would recompute the 16 plane dots once per band, and the a/b
-    # band self-join would double it again (alias-divergent branches defeat
-    # ReusedExchange). Candidate pairs expand inside each bucket's
-    # collected id list, like dedup_minhash_lsh.
-    bands = sigs.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"), band_val(b).alias("band_val")
-                    )
-                    for b in range(_EMB_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vec_id", "bb.band_idx", "bb.band_val")
     cand = (
         bands.groupBy("band_idx", "band_val")
         .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))

@@ -25,14 +25,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def table_exists(path: str) -> bool:
-    """True if the table has any committed data files (partition subdirs
-    count; an empty dir or _SUCCESS-only dir does not)."""
+    """True if the table has committed data FILES — a ``col=val`` partition
+    subdir counts only if it actually holds at least one .parquet file (an
+    interrupted write can leave a parquet-less partition dir, and reading
+    that fails schema inference)."""
     if not os.path.isdir(path):
         return False
-    return any(
-        n.endswith(".parquet") or ("=" in n and os.path.isdir(os.path.join(path, n)))
-        for n in os.listdir(path)
-    )
+    for n in os.listdir(path):
+        if n.endswith(".parquet"):
+            return True
+        sub = os.path.join(path, n)
+        if "=" in n and os.path.isdir(sub):
+            if any(m.endswith(".parquet") for m in os.listdir(sub)):
+                return True
+    return False
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
@@ -53,3 +59,23 @@ def overwrite_table(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def rewrite_table(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> None:
+    """Replace a table with a plan that READS the same table (row-level
+    DELETE's copy-on-write shape): surviving rows are written to a side
+    dir first, then swapped in — Spark cannot overwrite a path it is
+    scanning. The Iceberg equivalent is ``DELETE FROM`` (rewrite affected
+    files + atomic snapshot commit); this is that seam's stand-in."""
+    import shutil
+
+    tmp = path + ".rewrite.tmp"
+    old = path + ".rewrite.old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)

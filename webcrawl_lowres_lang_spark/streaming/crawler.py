@@ -396,6 +396,20 @@ class CrawlEngine:
         with open(os.path.join(self.dir, f"metrics_round{r}.json"), "w") as f:
             json.dump(m, f, indent=1)
 
+    # -- TTL re-crawl ----------------------------------------------------------
+
+    def expire_urls(self, rows: DataFrame) -> int:
+        """TTL re-crawl / host retraction: drop the given rows' url_hashes
+        from the seen set so a later round re-admits them (drive with the
+        ledger rows to refetch, e.g. one host's URLs past their TTL). With
+        ``seen_filter='cuckoo'`` the live filter drops fingerprints in
+        O(1); the Bloom path rebuilds the filter from the rewritten exact
+        table (see SeenSet.expire). Reference analog: the bulk reset ops
+        (sql.py:312-334) that re-queue already-handled URLs."""
+        removed = self.seen.expire(rows.select("url_hash"))
+        self._seen_total -= removed
+        return removed
+
     # -- resume ---------------------------------------------------------------------
 
     @classmethod

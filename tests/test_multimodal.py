@@ -77,3 +77,17 @@ def test_video_frame_sampling(spark):
 
     img = png_decode(bytes(sorted(rows, key=lambda r: r["frame_idx"])[1]["frame_png"]))
     assert img.shape == (16, 16, 3)
+
+
+def test_expected_features_fixture_in_sync():
+    """The committed oracle fixture (tests/fixtures/multimodal_expected.
+    parquet) must be byte-identical to a fresh regeneration of the pandas
+    twin — a drift guard so the multimodal oracle can never silently pin
+    stale expectations."""
+    import pandas as pd
+
+    from webcrawl_lowres_lang_spark.sources.fixtures import expected_image_features_rows
+
+    committed = pd.read_parquet("tests/fixtures/multimodal_expected.parquet")
+    fresh = expected_image_features_rows(42, 24, 16)
+    pd.testing.assert_frame_equal(committed, fresh)

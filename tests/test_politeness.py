@@ -203,3 +203,29 @@ def test_robots_parser_round_trip(spark):
     ) == (False, 1.5)
     assert _parse_robots_body("") == (False, 0.0)
     assert _parse_robots_body("User-agent: *\nCrawl-delay: fast") == (False, 0.0)
+
+
+def test_robots_agent_matching_robotparser_semantics():
+    """Near-miss agent names must resolve exactly as urllib.robotparser
+    would: a named group matches iff its agent line is a substring of the
+    UA token (prefix products do NOT capture the shorter UA), '*' is the
+    fallback, and the UA token is the part before '/'."""
+    import urllib.robotparser
+
+    from webcrawl_lowres_lang_spark.operators.politeness import _parse_robots_body
+
+    cases = [
+        # (body, expect chosen group's disallow to apply to /x)
+        ("User-agent: lrl-crawler-pro\nDisallow: /x\n\nUser-agent: *\nAllow: /\n"),
+        ("User-agent: lrl\nDisallow: /x\n\nUser-agent: *\nAllow: /\n"),
+        ("User-agent: crawler\nDisallow: /x\n\nUser-agent: *\nAllow: /\n"),
+        ("User-agent: l\nDisallow: /x\n\nUser-agent: *\nAllow: /\n"),
+        ("User-agent: *\nDisallow: /x\n"),
+        ("User-agent: other-bot\nDisallow: /x\n"),
+    ]
+    for body in cases:
+        rp = urllib.robotparser.RobotFileParser()
+        rp.parse(body.splitlines())
+        expected_blocked = not rp.can_fetch("lrl-crawler/1.0", "http://h/x")
+        has_disallow, _ = _parse_robots_body(body, agent="lrl-crawler/1.0")
+        assert has_disallow == expected_blocked, body

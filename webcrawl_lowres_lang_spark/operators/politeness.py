@@ -184,9 +184,15 @@ def _parse_robots_body(body: str, agent: str = "lrl-crawler") -> tuple[bool, flo
     if agents or rules:
         groups.append((agents, rules))
     chosen = None
-    a = agent.lower()
-    for ags, rls in groups:  # most specific: exact/substring agent match
-        if any(g != "*" and (g in a or a in g) for g in ags):
+    # urllib.robotparser semantics (RobotFileParser.Entry.applies_to): the
+    # UA token is the part before '/', lowercased; a named group matches
+    # when the group's agent line is a SUBSTRING of that token. The
+    # reverse containment (token substring of group agent) does NOT match
+    # — 'User-agent: lrl-crawler-pro' is a different product and must not
+    # capture 'lrl-crawler'.
+    a = agent.split("/")[0].lower()
+    for ags, rls in groups:
+        if any(g != "*" and g in a for g in ags):
             chosen = rls
             break
     if chosen is None:

@@ -1298,7 +1298,25 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_image_features",
-    oracle=None,  # binary decode not SQL-expressible; rows-only check
+    # binary decode is not SQL-expressible, but its EXPECTED OUTPUT is: the
+    # committed fixture parquet holds the single-process pandas twin's
+    # features (fixtures.expected_image_features_rows — render -> encode ->
+    # decode -> stats with no Spark anywhere; regen-gated byte-identical by
+    # tests/test_multimodal.py), so the driver value-hashes the whole
+    # mapInPandas decode path instead of the old rows-only check.
+    oracle="""
+    SELECT image_id, w, h, fmt,
+           ROUND(mean_r, 4) AS mean_r,
+           ROUND(mean_g, 4) AS mean_g,
+           ROUND(mean_b, 4) AS mean_b,
+           ROUND(std_gray, 4) AS std_gray,
+           thumb_digest,
+           ROUND(thumb_norm, 6) AS thumb_norm,
+           phash_ok,
+           ROUND(psnr_db, 2) AS psnr_db
+    FROM read_parquet('/root/repo/tests/fixtures/multimodal_expected.parquet')
+    WHERE phash_ok AND psnr_db >= 40.0
+    """,
     survey_ref="U8,C19,S17",
     tags=("multimodal",),
 )
@@ -1326,8 +1344,16 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = image_features_validated(pages, 42).filter(
         F.col("phash_ok") & (F.col("psnr_db") >= 40.0)
     )
+    # digest over INTEGER micro-units (floor(x*1e6 + 0.5) = half-up, exact
+    # on these non-negative doubles): integers stringify identically in
+    # the JVM and in the pandas twin, where double-to-string formatting
+    # ("1.0E-6" vs "1e-06") never would
     thumb_str = F.concat_ws(
-        ",", F.transform(F.col("thumb"), lambda x: F.round(x.cast("double"), 6).cast("string"))
+        ",",
+        F.transform(
+            F.col("thumb"),
+            lambda x: F.floor(x.cast("double") * 1_000_000 + F.lit(0.5)).cast("long").cast("string"),
+        ),
     )
     thumb_norm = F.sqrt(
         F.aggregate(

@@ -89,9 +89,15 @@ def gen_fixtures() -> None:
     fx.gen_link_graph(spark, SEED, N_URLS, N_HOSTS, N_PAGES).write.mode("overwrite").parquet(
         os.path.join(d, "links")
     )
-    fx.gen_pages(spark, SEED, N_PAGES, words).write.mode("overwrite").parquet(
-        os.path.join(d, "pages")
-    )
+    # lossy="standin": at 75k pages the pure-python baseline-JFIF codec
+    # (~40 ms/image vs libjpeg-turbo's ~2 ms) would make the MEASURED
+    # region python-codec-bound — unrepresentative of a production
+    # cluster. Correctness paths (crawl parity, bench crawl, multimodal
+    # oracle) run the real codec; this bulk-throughput fixture keeps the
+    # fast container so the bench measures the ENGINE.
+    fx.gen_pages(spark, SEED, N_PAGES, words, lossy="standin").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "pages"))
     spark.stop()
 
 

@@ -57,3 +57,61 @@ def test_phash_survives_lossy_roundtrip():
     img = render_image(42, "img-q", 64, 64)
     dec = decode_image(jpeg_encode_standin(img), "jpeg")
     assert hamming64(phash64(img), phash64(dec)) <= 4
+
+
+def test_jpeg_real_roundtrip_psnr_and_structure():
+    """The baseline JFIF codec is REAL (round 4): spec markers present,
+    quality-97 round-trip PSNR >= 40 dB (the north-rule gate) on the
+    noisy synthetic renders, exact dims restored for non-multiple-of-8
+    sizes, decoder tables read from the file's own segments."""
+    from webcrawl_lowres_lang_spark.functions.imaging import (
+        jpeg_decode,
+        jpeg_encode,
+        psnr,
+        render_image,
+    )
+
+    for k, (w, h) in enumerate([(32, 32), (45, 33), (96, 97), (61, 80)]):
+        img = render_image(42, f"jt-{k}", w, h)
+        data = jpeg_encode(img, quality=97)
+        # marker structure: SOI, JFIF APP0, 2x DQT, SOF0, 4x DHT, SOS, EOI
+        assert data.startswith(b"\xFF\xD8\xFF\xE0") and data.endswith(b"\xFF\xD9")
+        assert data.count(b"\xFF\xDB") >= 2 and data.count(b"\xFF\xC4") >= 4
+        assert b"\xFF\xC0" in data and b"\xFF\xDA" in data and b"JFIF\x00" in data
+        dec = jpeg_decode(data)
+        assert dec.shape == (h, w, 3)
+        assert psnr(img, dec) >= 40.0
+
+
+def test_jpeg_decode_rejects_out_of_subset():
+    """Progressive / subsampled streams fail loudly, not wrongly."""
+    import numpy as np
+    import pytest
+
+    from webcrawl_lowres_lang_spark.functions.imaging import (
+        jpeg_decode,
+        jpeg_encode,
+        render_image,
+    )
+
+    data = bytearray(jpeg_encode(render_image(1, "x", 16, 16)))
+    sof = data.find(b"\xFF\xC0")
+    data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        jpeg_decode(bytes(data))
+    with pytest.raises(ValueError):
+        jpeg_decode(b"not a jpeg")
+
+
+def test_jpeg_quality_monotone_and_deterministic():
+    from webcrawl_lowres_lang_spark.functions.imaging import (
+        jpeg_decode,
+        jpeg_encode,
+        psnr,
+        render_image,
+    )
+
+    img = render_image(7, "q", 48, 40)
+    p = [psnr(img, jpeg_decode(jpeg_encode(img, quality=q))) for q in (70, 90, 97)]
+    assert p[0] < p[1] < p[2]
+    assert jpeg_encode(img, quality=90) == jpeg_encode(img, quality=90)

@@ -3,16 +3,20 @@
 phash:int64``; per-row invariant: decoded-pixel allclose / PSNR>=40dB for
 lossy formats).
 
-The sandbox has no image libraries (no PIL/opencv), so:
-- ``png`` is a REAL, self-contained codec: pure numpy + zlib PNG
-  (8-bit RGB, filter-0 scanlines) — lossless round-trip.
-- ``jpeg`` is a clearly-marked deterministic STAND-IN for a lossy codec:
-  pixels are quantized (step 4 -> PSNR ~46 dB, above the 40 dB gate) and
-  stored in the same PNG container. ``decode_image`` first tries a real
-  JPEG via PIL if present; otherwise it decodes the stand-in container.
-  On a production cluster with codec libs installed, only ``_decode_jpeg``
-  changes — every Spark-side signature, schema, batch shape, and test
-  stays identical.
+The sandbox has no image libraries (no PIL/opencv), so both codecs are
+self-contained:
+- ``png`` is a REAL codec: pure numpy + zlib PNG (8-bit RGB, filter-0
+  scanlines) — lossless round-trip.
+- ``jpeg`` is a REAL baseline JFIF codec since round 4 (pure numpy +
+  stdlib; was a quantize+PNG stand-in through round 3): sequential
+  baseline per ITU-T T.81, 4:4:4, Annex K quant tables scaled by the IJG
+  quality rule, Annex K typical Huffman tables, with the decoder driven
+  entirely by the file's own DQT/DHT/SOF0 segments. Round-trip PSNR at
+  the fixtures' quality 97 is ~43-44 dB — a genuinely lossy format above
+  the 40 dB per-row invariant gate. The round-3 stand-in container still
+  decodes (legacy checkpoints; bulk throughput fixtures keep it because
+  the pure-python codec is ~20x slower than libjpeg-turbo and would make
+  throughput benches codec-bound — see sources/fixtures.page_row).
 
 All batch entry points are Arrow/pandas-UDF-shaped (numpy over pd.Series),
 never per-row Python in the Spark hot path.
@@ -94,16 +98,387 @@ def png_decode(data: bytes) -> np.ndarray:
     return out.astype(np.uint8).reshape(h, w, 3)
 
 
-# --- lossy stand-in -----------------------------------------------------------
+# --- baseline JFIF codec (pure numpy + stdlib; REAL since round 4) -------------
+#
+# Sequential baseline JPEG per ITU-T T.81: 4:4:4 sampling, Annex K
+# quantization tables scaled by the IJG quality rule, Annex K "typical"
+# Huffman tables, JFIF APP0 header. The DECODER is driven entirely by the
+# file's own DQT/DHT/SOF0 segments (like any real decoder), so the two
+# halves cannot silently share a transcription error. Out of scope
+# (raises): progressive scans, subsampled chroma, restart markers, 12-bit.
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+_QT_CHROMA = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99]
+    + [99] * 32, dtype=np.int32)
+
+# Annex K "typical" Huffman specs: (bits-per-length[1..16], symbol values)
+_HUFF_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_HUFF_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+     0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+     0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+     0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+     0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+     0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+     0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+     0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+     0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+     0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+# orthonormal 8x8 DCT-II basis: block_freq = _C8 @ block @ _C8.T
+_C8 = np.cos(np.pi / 8 * (np.arange(8)[None, :] + 0.5) * np.arange(8)[:, None])
+_C8 *= np.sqrt(2.0 / 8)
+_C8[0] /= np.sqrt(2.0)
+
+
+def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 1..100 -> per-coefficient divisors in [1, 255]."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical assignment per T.81 C.2."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:  # pad the final byte with 1-bits (T.81 F.1.2.3)
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, value-bits) for a DC diff / AC coefficient per F.1.2."""
+    s = int(abs(v)).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _encode_blocks(writer, blocks: np.ndarray, dc_tab, ac_tab, pred: int) -> int:
+    """Huffman-encode quantized zigzag blocks (N, 64); returns new DC pred."""
+    for zz in blocks:
+        s, bits = _magnitude(int(zz[0]) - pred)
+        pred = int(zz[0])
+        code, ln = dc_tab[s]
+        writer.write(code, ln)
+        if s:
+            writer.write(bits, s)
+        run = 0
+        nz = np.nonzero(zz[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for i in range(1, last + 1):
+            v = int(zz[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_tab[0xF0]  # ZRL
+                writer.write(code, ln)
+                run -= 16
+            s, bits = _magnitude(v)
+            code, ln = ac_tab[(run << 4) | s]
+            writer.write(code, ln)
+            writer.write(bits, s)
+            run = 0
+        if last < 63:
+            code, ln = ac_tab[0x00]  # EOB
+            writer.write(code, ln)
+    return pred
+
+
+def _plane_blocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """Level-shift, 8x8 DCT, quantize, zigzag -> (n_blocks, 64) int32 in
+    raster block order. Vectorized across all blocks at once."""
+    h, w = plane.shape
+    bh, bw = -(-h // 8), -(-w // 8)
+    padded = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    blocks = (
+        padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        .astype(np.float64) - 128.0
+    )
+    freq = np.einsum("ux,nxy,vy->nuv", _C8, blocks, _C8)
+    quant = np.round(freq / qt.reshape(8, 8)).astype(np.int32)
+    return quant.reshape(-1, 64)[:, _ZIGZAG]
+
+
+def jpeg_encode(arr: np.ndarray, quality: int = 95) -> bytes:
+    """HxWx3 uint8 RGB -> baseline JFIF bytes (4:4:4, Annex K tables)."""
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("jpeg_encode expects HxWx3 uint8")
+    h, w, _ = arr.shape
+    r, g, b = (arr[:, :, i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    qt_l, qt_c = _scaled_qt(_QT_LUMA, quality), _scaled_qt(_QT_CHROMA, quality)
+
+    out = bytearray(b"\xFF\xD8")  # SOI
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, qt in ((0, qt_l), (1, qt_c)):
+        out += b"\xFF\xDB" + struct.pack(">HB", 67, tid) + bytes(qt[_ZIGZAG].astype(np.uint8))
+    out += b"\xFF\xC0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid, qid in ((1, 0), (2, 1), (3, 1)):
+        out += bytes([cid, 0x11, qid])
+    for tc_th, (bits, vals) in (
+        (0x00, _HUFF_DC_LUMA), (0x10, _HUFF_AC_LUMA),
+        (0x01, _HUFF_DC_CHROMA), (0x11, _HUFF_AC_CHROMA),
+    ):
+        out += b"\xFF\xC4" + struct.pack(">HB", 3 + 16 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+    out += b"\xFF\xDA" + struct.pack(">HB", 12, 3)
+    for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        out += bytes([cid, tabs])
+    out += b"\x00\x3F\x00"  # Ss=0 Se=63 AhAl=0
+
+    dc_l = _canonical_codes(*_HUFF_DC_LUMA)
+    ac_l = _canonical_codes(*_HUFF_AC_LUMA)
+    dc_c = _canonical_codes(*_HUFF_DC_CHROMA)
+    ac_c = _canonical_codes(*_HUFF_AC_CHROMA)
+    planes = [
+        (_plane_blocks(y, qt_l), dc_l, ac_l),
+        (_plane_blocks(cb, qt_c), dc_c, ac_c),
+        (_plane_blocks(cr, qt_c), dc_c, ac_c),
+    ]
+    # 4:4:4 interleaved MCU = one block per component, raster order
+    writer = _BitWriter()
+    preds = [0, 0, 0]
+    n_blocks = planes[0][0].shape[0]
+    for i in range(n_blocks):
+        for c, (blocks, dct, act) in enumerate(planes):
+            preds[c] = _encode_blocks(writer, blocks[i : i + 1], dct, act, preds[c])
+    writer.flush()
+    out += writer.out
+    out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:  # marker: decoder should already be done; feed 0 bits
+                self.acc = (self.acc << 8)
+                self.n += 8
+                return
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if not self.n:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_lookup(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_read(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> HxWx3 uint8 RGB; every table comes from the
+    file's own DQT/DHT segments. Supports the encoder's subset: baseline
+    sequential, 3 components, 4:4:4 (raises on subsampled/progressive)."""
+    if not data.startswith(b"\xFF\xD8"):
+        raise ValueError("not a JPEG")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huffs: dict[int, dict[tuple[int, int], int]] = {}
+    h = w = 0
+    comp_qt: dict[int, int] = {}
+    comp_tabs: dict[int, int] = {}
+    comp_order: list[int] = []
+    while pos < len(data):
+        assert data[pos] == 0xFF, "marker expected"
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq_tq = body[i]
+                if pq_tq >> 4:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                zz = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8).astype(np.int32)
+                qt = np.zeros(64, dtype=np.int32)
+                qt[_ZIGZAG] = zz
+                qts[pq_tq & 0xF] = qt
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc_th = body[i]
+                bits = list(body[i + 1 : i + 17])
+                nvals = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nvals])
+                huffs[tc_th] = _huff_lookup(bits, vals)
+                i += 17 + nvals
+        elif marker == 0xC0:
+            _prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            for c in range(ncomp):
+                cid, samp, qid = body[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise NotImplementedError("only 4:4:4 sampling supported")
+                comp_qt[cid] = qid
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise NotImplementedError("only baseline sequential JPEG supported")
+        elif marker == 0xDA:
+            ncomp = body[0]
+            for c in range(ncomp):
+                cid, tabs = body[1 + 2 * c : 3 + 2 * c]
+                comp_tabs[cid] = tabs
+                comp_order.append(cid)
+            break  # entropy data follows
+    reader = _BitReader(data, pos)
+    bh, bw = -(-h // 8), -(-w // 8)
+    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in comp_order]
+    preds = [0] * len(comp_order)
+    for by in range(bh):
+        for bx in range(bw):
+            for c, cid in enumerate(comp_order):
+                tabs = comp_tabs[cid]
+                dc_tab, ac_tab = huffs[tabs >> 4], huffs[0x10 | (tabs & 0xF)]
+                zz = np.zeros(64, dtype=np.int32)
+                s = _huff_read(reader, dc_tab)
+                diff = _extend(reader.bits(s), s) if s else 0
+                preds[c] += diff
+                zz[0] = preds[c]
+                k = 1
+                while k < 64:
+                    sym = _huff_read(reader, ac_tab)
+                    if sym == 0x00:
+                        break
+                    if sym == 0xF0:
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    s = sym & 0xF
+                    zz[k] = _extend(reader.bits(s), s)
+                    k += 1
+                block = np.zeros(64, dtype=np.float64)
+                # zz is in zigzag order; the raster-order quant table must
+                # be sampled in the same order before the element product
+                block[_ZIGZAG] = zz * qts[comp_qt[cid]][_ZIGZAG]
+                block = block.reshape(8, 8)
+                pix = np.einsum("ux,uv,vy->xy", _C8, block, _C8) + 128.0
+                planes[c][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+    y, cb, cr = (p[:h, :w] for p in planes)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.stack([r, g, b], axis=2).clip(0, 255).round().astype(np.uint8)
 
 
 def jpeg_encode_standin(arr: np.ndarray) -> bytes:
-    """Deterministic lossy stand-in: quantize then store as PNG container.
-
-    STUB for a real JPEG encoder (no codec libs in this container). The
-    quantization loses information like a real lossy codec, with PSNR
-    ~46 dB — above the 40 dB per-row invariant gate.
-    """
+    """Round-3 deterministic lossy stand-in (quantize + PNG container),
+    kept so legacy containers still decode; new fixture encoding uses the
+    REAL baseline codec above."""
     q = _JPEG_QUANT_STEP
     quant = ((arr.astype(np.int32) + q // 2) // q * q).clip(0, 255).astype(np.uint8)
     return png_encode(quant)
@@ -112,26 +487,17 @@ def jpeg_encode_standin(arr: np.ndarray) -> bytes:
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
     """Decode stored bytes -> HxWx3 uint8 pixels.
 
-    png -> pure-numpy decoder. jpeg -> real PIL decode when available,
-    else the deterministic stand-in container; anything else raises
-    NotImplementedError (clearly-marked stub boundary).
+    png -> pure-numpy PNG decoder. jpeg -> the REAL baseline JFIF decoder
+    (SOI magic), or the legacy round-3 PNG-container stand-in (PNG magic).
     """
     if fmt == "png":
         return png_decode(data)
     if fmt == "jpeg":
-        try:
-            from io import BytesIO
-
-            from PIL import Image  # pragma: no cover - not in sandbox
-
-            return np.asarray(Image.open(BytesIO(data)).convert("RGB"))
-        except ImportError:
-            if data.startswith(_PNG_MAGIC):
-                return png_decode(data)  # stand-in container
-            raise NotImplementedError(
-                "real JPEG decode requires an image codec library (PIL); "
-                "sandbox uses the deterministic PNG-container stand-in"
-            ) from None
+        if data.startswith(b"\xFF\xD8"):
+            return jpeg_decode(data)  # REAL baseline JFIF (pure numpy)
+        if data.startswith(_PNG_MAGIC):
+            return png_decode(data)  # legacy round-3 stand-in container
+        raise NotImplementedError("unrecognized jpeg container")
     raise NotImplementedError(f"unsupported image format: {fmt}")
 
 

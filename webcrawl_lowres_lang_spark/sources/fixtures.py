@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.imaging import (
+    jpeg_encode,
     jpeg_encode_standin,
     phash64,
     png_encode,
@@ -124,15 +125,30 @@ def expected_pixels(seed: int, k: int) -> np.ndarray:
     return img
 
 
-def page_row(seed: int, k: int, lex_words: list[str]) -> dict:
+def page_row(seed: int, k: int, lex_words: list[str], lossy: str = "real") -> dict:
     """One content item. Every ~50th item (k%50==1) is a NEAR-DUPLICATE of
     its predecessor (tiny pixel perturbation, phash Hamming<=4) to exercise
-    phash suppression (north rule)."""
+    phash suppression (north rule).
+
+    ``lossy``: "real" (default) encodes jpeg pages with the engine's
+    baseline JFIF codec (functions/imaging.jpeg_encode, quality 97 —
+    min PSNR ~43 dB, above the 40 dB invariant gate); "standin" keeps the
+    round-3 quantize+PNG container. Bulk THROUGHPUT fixtures (scaling
+    bench, 75k pages) use "standin": the pure-python codec costs ~40 ms/
+    image where libjpeg-turbo costs ~2 ms, so the real codec would make
+    the measured region python-codec-bound — unrepresentative of any
+    production cluster — while correctness paths (crawl parity,
+    multimodal oracle, bench crawl) all run the real codec."""
     image_id = f"img-{k:08d}"
     img = expected_pixels(seed, k)
     h, w = img.shape[:2]
     fmt = "png" if _mix(seed, k, 12) % 2 == 0 else "jpeg"
-    data = png_encode(img) if fmt == "png" else jpeg_encode_standin(img)
+    if fmt == "png":
+        data = png_encode(img)
+    elif lossy == "real":
+        data = jpeg_encode(img, quality=97)
+    else:
+        data = jpeg_encode_standin(img)
     # phash over *decoded* pixels (what a fetcher recomputes), so the stored
     # hash matches the validation path even for the lossy format
     from ..functions.imaging import decode_image
@@ -159,12 +175,14 @@ def _gen_parts(spark: SparkSession, n_rows: int, rows_per_task: int) -> int:
     return max(2, min(cap, -(-n_rows // rows_per_task)))
 
 
-def gen_pages(spark: SparkSession, seed: int, n: int, lex_words: list[str]) -> DataFrame:
+def gen_pages(
+    spark: SparkSession, seed: int, n: int, lex_words: list[str], lossy: str = "real"
+) -> DataFrame:
     lex = list(lex_words)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            rows = [page_row(seed, int(k), lex) for k in b["id"]]
+            rows = [page_row(seed, int(k), lex, lossy=lossy) for k in b["id"]]
             yield pd.DataFrame(rows)
 
     # image render+encode per row is the expensive generator — small tasks

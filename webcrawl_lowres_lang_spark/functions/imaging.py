@@ -314,64 +314,57 @@ def jpeg_encode(arr: np.ndarray, quality: int = 95) -> bytes:
     return bytes(out)
 
 
-class _BitReader:
-    """Entropy-segment bit reader with 0xFF00 unstuffing."""
+class _FastBits:
+    """Entropy-segment reader over the UNSTUFFED byte string: O(1)
+    16-bit peek at any bit offset (int.from_bytes over a 4-byte window),
+    the structure every production JPEG decoder uses for table-driven
+    Huffman decode."""
 
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.n = 0
+    __slots__ = ("data", "bitpos")
 
-    def _fill(self) -> None:
-        b = self.data[self.pos]
-        if b == 0xFF:
-            nxt = self.data[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2
-            else:  # marker: decoder should already be done; feed 0 bits
-                self.acc = (self.acc << 8)
-                self.n += 8
-                return
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.n += 8
+    def __init__(self, entropy: bytes):
+        self.data = entropy + b"\x00\x00\x00\x00"  # peek slack past EOI
+        self.bitpos = 0
 
-    def bit(self) -> int:
-        if not self.n:
-            self._fill()
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+    def peek16(self) -> int:
+        byte, shift = self.bitpos >> 3, self.bitpos & 7
+        window = int.from_bytes(self.data[byte : byte + 4], "big")
+        return (window >> (16 - shift)) & 0xFFFF
 
-    def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
+    def skip(self, n: int) -> None:
+        self.bitpos += n
+
+    def take(self, n: int) -> int:
+        v = self.peek16() >> (16 - n)
+        self.bitpos += n
         return v
 
 
-def _huff_lookup(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol."""
-    table, code, k = {}, 0, 0
+def _huff_lut(bits: list[int], vals: list[int]) -> np.ndarray:
+    """Flat 2^16 lookup: lut[peek16] = (symbol << 8) | code_length.
+    Each canonical code of length L owns the 2^(16-L) entries prefixed by
+    it — one array index replaces a per-bit tree walk."""
+    lut = np.zeros(1 << 16, dtype=np.uint16)
+    code, k = 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
+            start = code << (16 - length)
+            lut[start : start + (1 << (16 - length))] = (vals[k] << 8) | length
             code += 1
             k += 1
         code <<= 1
-    return table
+    return lut
 
 
-def _huff_read(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code, length = 0, 0
-    while length < 16:
-        code = (code << 1) | reader.bit()
-        length += 1
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in JPEG stream")
+def _unstuff_entropy(data: bytes, pos: int) -> bytes:
+    """Strip 0xFF00 byte stuffing; stop at the first real marker (EOI)."""
+    end = pos
+    n = len(data)
+    while end < n - 1:
+        if data[end] == 0xFF and data[end + 1] != 0x00:
+            break
+        end += 1 + (data[end] == 0xFF)
+    return data[pos:end].replace(b"\xFF\x00", b"\xFF")
 
 
 def _extend(v: int, s: int) -> int:
@@ -417,7 +410,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 bits = list(body[i + 1 : i + 17])
                 nvals = sum(bits)
                 vals = list(body[i + 17 : i + 17 + nvals])
-                huffs[tc_th] = _huff_lookup(bits, vals)
+                huffs[tc_th] = _huff_lut(bits, vals)
                 i += 17 + nvals
         elif marker == 0xC0:
             _prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
@@ -435,39 +428,53 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 comp_tabs[cid] = tabs
                 comp_order.append(cid)
             break  # entropy data follows
-    reader = _BitReader(data, pos)
+    reader = _FastBits(_unstuff_entropy(data, pos))
     bh, bw = -(-h // 8), -(-w // 8)
-    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in comp_order]
+    n_blocks = bh * bw
+    # pass 1: entropy-decode every block's zigzag coefficients (the only
+    # inherently sequential part); pass 2 below dequantizes + IDCTs ALL
+    # blocks per component in one einsum
+    coeffs = [np.zeros((n_blocks, 64), dtype=np.int32) for _ in comp_order]
     preds = [0] * len(comp_order)
-    for by in range(bh):
-        for bx in range(bw):
-            for c, cid in enumerate(comp_order):
-                tabs = comp_tabs[cid]
-                dc_tab, ac_tab = huffs[tabs >> 4], huffs[0x10 | (tabs & 0xF)]
-                zz = np.zeros(64, dtype=np.int32)
-                s = _huff_read(reader, dc_tab)
-                diff = _extend(reader.bits(s), s) if s else 0
-                preds[c] += diff
-                zz[0] = preds[c]
-                k = 1
-                while k < 64:
-                    sym = _huff_read(reader, ac_tab)
-                    if sym == 0x00:
-                        break
-                    if sym == 0xF0:
-                        k += 16
-                        continue
-                    k += sym >> 4
-                    s = sym & 0xF
-                    zz[k] = _extend(reader.bits(s), s)
-                    k += 1
-                block = np.zeros(64, dtype=np.float64)
-                # zz is in zigzag order; the raster-order quant table must
-                # be sampled in the same order before the element product
-                block[_ZIGZAG] = zz * qts[comp_qt[cid]][_ZIGZAG]
-                block = block.reshape(8, 8)
-                pix = np.einsum("ux,uv,vy->xy", _C8, block, _C8) + 128.0
-                planes[c][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+    peek16, skip, take = reader.peek16, reader.skip, reader.take
+    tabpairs = []
+    for cid in comp_order:
+        tabs = comp_tabs[cid]
+        tabpairs.append((huffs[tabs >> 4], huffs[0x10 | (tabs & 0xF)]))
+    for i in range(n_blocks):
+        for c, (dc_lut, ac_lut) in enumerate(tabpairs):
+            zz = coeffs[c][i]
+            entry = int(dc_lut[peek16()])
+            s = entry >> 8
+            skip(entry & 0xFF)
+            preds[c] += _extend(take(s), s) if s else 0
+            zz[0] = preds[c]
+            k = 1
+            while k < 64:
+                entry = int(ac_lut[peek16()])
+                if not entry & 0xFF:
+                    raise ValueError("invalid Huffman code in JPEG stream")
+                skip(entry & 0xFF)
+                sym = entry >> 8
+                if sym == 0x00:
+                    break
+                if sym == 0xF0:
+                    k += 16
+                    continue
+                k += sym >> 4
+                s = sym & 0xF
+                zz[k] = _extend(take(s), s)
+                k += 1
+    planes = []
+    for c, cid in enumerate(comp_order):
+        # dequant in zigzag order, scatter to raster, one batched IDCT
+        deq = coeffs[c].astype(np.float64) * qts[comp_qt[cid]][_ZIGZAG]
+        raster = np.zeros((n_blocks, 64))
+        raster[:, _ZIGZAG] = deq
+        pix = np.einsum("ux,nuv,vy->nxy", _C8, raster.reshape(-1, 8, 8), _C8) + 128.0
+        planes.append(
+            pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
     y, cb, cr = (p[:h, :w] for p in planes)
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)

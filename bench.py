@@ -47,6 +47,10 @@ CRAWL_BENCH = dict(
 def _force(df) -> None:
     """Execute the full plan without collecting to the driver."""
     df.write.format("noop").mode("overwrite").save()
+    # builders may persist intermediates (text_langid_ngram's gram agg);
+    # release them here so 4+ invocations per session don't accumulate
+    # live cached copies (the unpersist is a no-op for other queries)
+    pipeline_ops.release_persisted()
 
 
 def _burn(_: int) -> int:

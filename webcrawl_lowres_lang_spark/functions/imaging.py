@@ -445,6 +445,11 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         for c, (dc_lut, ac_lut) in enumerate(tabpairs):
             zz = coeffs[c][i]
             entry = int(dc_lut[peek16()])
+            if not entry & 0xFF:
+                # unassigned LUT slot = no canonical code matches this
+                # prefix; advancing zero bits would silently mis-decode a
+                # corrupted stream (the AC branch already raises)
+                raise ValueError("invalid Huffman code in JPEG stream")
             s = entry >> 8
             skip(entry & 0xFF)
             preds[c] += _extend(take(s), s) if s else 0

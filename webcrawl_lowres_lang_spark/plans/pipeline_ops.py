@@ -22,10 +22,30 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import REGISTRY, load, register
+
+# repo root derived from THIS file so oracle fixture paths survive any
+# checkout location (the round-4 form hardcoded /root/repo)
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_FIXTURES_DIR = os.path.join(_REPO_ROOT, "tests", "fixtures")
+
+# Intermediate frames persisted by query builders (text_langid_ngram's gram
+# aggregation). A registered query fn returns a LAZY DataFrame, so the
+# builder cannot unpersist before the caller's action runs; callers that
+# invoke queries repeatedly in one session (bench.py's cold/warm/tenx legs)
+# call release_persisted() after each consuming action — same contract as
+# admit_per_domain's ``caches`` parameter.
+_PERSISTED: list[DataFrame] = []
+
+
+def release_persisted() -> None:
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
 
 # ---------------------------------------------------------------------------
 # shared builders
@@ -1234,6 +1254,7 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cache holds post-shuffle aggregated rows, orders of magnitude
     # smaller than the raw gram stream.
     gcounts = grams.groupBy("doc_id", "lang", "g").agg(F.count("*").alias("dc")).persist()
+    _PERSISTED.append(gcounts)  # released via release_persisted() (bench legs)
     profile = gcounts.groupBy(F.col("lang").alias("plang"), "g").agg(F.sum("dc").alias("pc"))
     docg = gcounts.select("doc_id", "g", "dc")
     dots = (
@@ -1304,7 +1325,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decode -> stats with no Spark anywhere; regen-gated byte-identical by
     # tests/test_multimodal.py), so the driver value-hashes the whole
     # mapInPandas decode path instead of the old rows-only check.
-    oracle="""
+    oracle=f"""
     SELECT image_id, w, h, fmt,
            ROUND(mean_r, 4) AS mean_r,
            ROUND(mean_g, 4) AS mean_g,
@@ -1314,7 +1335,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(thumb_norm, 6) AS thumb_norm,
            phash_ok,
            ROUND(psnr_db, 2) AS psnr_db
-    FROM read_parquet('/root/repo/tests/fixtures/multimodal_expected.parquet')
+    FROM read_parquet('{os.path.join(_FIXTURES_DIR, "multimodal_expected.parquet")}')
     WHERE phash_ok AND psnr_db >= 40.0
     """,
     survey_ref="U8,C19,S17",

@@ -29,6 +29,7 @@ def table_exists(path: str) -> bool:
     subdir counts only if it actually holds at least one .parquet file (an
     interrupted write can leave a parquet-less partition dir, and reading
     that fails schema inference)."""
+    _recover_interrupted_rewrite(path)
     if not os.path.isdir(path):
         return False
     for n in os.listdir(path):
@@ -61,17 +62,36 @@ def overwrite_table(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()
     w.parquet(path)
 
 
+def _recover_interrupted_rewrite(path: str) -> None:
+    """Startup recovery for ``rewrite_table``'s non-atomic window: a crash
+    between its two renames leaves the table absent at ``path`` while the
+    pre-rewrite data sits intact in ``path.rewrite.old``. Restoring the old
+    dir loses only the (never-committed) rewrite — the same visibility a
+    failed Iceberg snapshot commit has. Called by ``table_exists``, which
+    every reader consults first, so recovery happens before any read."""
+    old = path + ".rewrite.old"
+    if not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)
+
+
 def rewrite_table(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> None:
     """Replace a table with a plan that READS the same table (row-level
     DELETE's copy-on-write shape): surviving rows are written to a side
     dir first, then swapped in — Spark cannot overwrite a path it is
     scanning. The Iceberg equivalent is ``DELETE FROM`` (rewrite affected
-    files + atomic snapshot commit); this is that seam's stand-in."""
+    files + atomic snapshot commit); this is that seam's stand-in.
+
+    NOT atomic: a crash between the two renames leaves ``path`` absent and
+    the data in ``.rewrite.old`` — ``_recover_interrupted_rewrite`` (run by
+    ``table_exists``) restores it on the next access. Stale ``.tmp``/
+    ``.old`` leftovers from earlier crashes are cleared up front so a prior
+    failure can never wedge the next rewrite."""
     import shutil
 
     tmp = path + ".rewrite.tmp"
     old = path + ".rewrite.old"
     shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)

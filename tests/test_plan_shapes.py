@@ -43,6 +43,53 @@ def test_small_dim_broadcasts(spark):
     assert "BroadcastHashJoin" in p, "customer build side must broadcast"
 
 
+def test_robots_broadcast_size_gated(spark):
+    """The admission path's robots/crawl-delay dim hint must be SIZE-GATED
+    (round-4 verdict: a forced F.broadcast on a 10^8-host politeness cache
+    collects it through the driver). Pin both sides: the sandbox-sized dim
+    still broadcasts; an oversized dim takes a shuffled join."""
+    from webcrawl_lowres_lang_spark.operators.politeness import (
+        BROADCAST_DIM_MAX_BYTES,
+        admit_per_domain,
+        with_priority,
+    )
+    from webcrawl_lowres_lang_spark.sources.fixtures import gen_robots
+
+    frontier = with_priority(
+        spark.range(200).select(
+            F.concat(F.lit("cdn.host"), F.col("id") % 10, F.lit(".com")).alias("host"),
+            F.concat(F.lit("host"), F.col("id") % 10, F.lit(".com")).alias("domain"),
+            (F.col("id") % 7).cast("double").alias("relevance"),
+            F.lit(0).cast("int").alias("depth"),
+            F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+        )
+    )
+    # materialized cache (what CrawlEngine does) -> Catalyst sees exact
+    # bytes; a bare createDataFrame relation reports the unknown-size
+    # default and the gate correctly refuses to force it
+    small = gen_robots(spark, 42, 20).cache()
+    small.count()
+    try:
+        adm, _ = admit_per_domain(frontier, small)
+        assert "BroadcastHashJoin" in adm._jdf.queryExecution().executedPlan().toString()
+    finally:
+        small.unpersist()
+
+    big = spark.range(30_000_000).select(
+        F.concat(F.lit("cdn.host"), F.col("id"), F.lit(".example.com")).alias("host"),
+        (F.col("id") % 2 == 0).alias("respect_disallow"),
+        F.lit(0.0).alias("crawl_delay"),
+    )
+    est = int(big._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    assert est > BROADCAST_DIM_MAX_BYTES, "test dim must exceed the gate"
+    adm_b, _ = admit_per_domain(frontier, big)
+    pb = adm_b._jdf.queryExecution().executedPlan().toString()
+    # left-outer build side can only be the robots dim: no broadcast at all
+    # means the oversized dim was not forced through the driver
+    assert "BroadcastHashJoin" not in pb, pb
+    assert "SortMergeJoin" in pb or "ShuffledHashJoin" in pb, pb
+
+
 def test_anti_join_not_cartesian(spark):
     p = _plan(spark, "j5_seen_set_anti_join")
     assert "LeftAnti" in p

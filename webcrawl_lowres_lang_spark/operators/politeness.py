@@ -32,6 +32,31 @@ from ..determinism import quantize9, salt
 DEFAULT_HOST_BUDGET = 5
 DEPTH_WEIGHT = 0.1  # priority = relevance - DEPTH_WEIGHT * depth
 
+# Hard F.broadcast hints on the robots/crawl-delay dimension are gated on
+# size: politeness state is per HOST, and at the north rule's 10^10-URL
+# frontier that dimension is 10^7-10^8 rows — a forced hint bypasses
+# Spark's size checks entirely and collects the table through the driver
+# (the one scale-killer plan shape flagged in round 4). 64 MiB ≈ 10^6
+# host rows comfortably inside executor/driver broadcast budgets; a real
+# crawl's robots cache crosses it long before the frontier does.
+BROADCAST_DIM_MAX_BYTES = 64 << 20
+
+
+def maybe_broadcast(dim: DataFrame, max_bytes: int = BROADCAST_DIM_MAX_BYTES) -> DataFrame:
+    """Apply a broadcast hint only when Catalyst's own size estimate says
+    the dimension is small (exact for local/cached relations — CrawlEngine
+    materializes the robots cache eagerly so rounds see exact bytes).
+    Oversized or unknown-size dims are left UNHINTED: AQE's runtime
+    statistics then pick broadcast vs shuffle join — never the driver-
+    collecting forced path. Plan-shape pin: tests/test_plan_shapes.py
+    asserts an oversized robots dim takes a shuffle join while the
+    sandbox-sized dim still broadcasts."""
+    try:
+        size = int(dim._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # internal-API drift or unresolvable plan: never force
+        return dim
+    return F.broadcast(dim) if 0 <= size <= max_bytes else dim
+
 
 def effective_budget(base_budget: int, crawl_delay: float) -> int:
     """Tokens per round for a host declaring ``crawl_delay`` (virtual-time
@@ -62,13 +87,15 @@ def with_priority(df: DataFrame) -> DataFrame:
 
 def robots_filter(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     """Drop rows whose path is robots-disallowed on a host that enforces
-    robots (F4/S21). The robots cache is a small dimension — broadcast."""
+    robots (F4/S21). The robots cache broadcasts only while it is
+    measurably small (see ``maybe_broadcast``); a 10^8-host cache takes a
+    shuffled join instead."""
     r = robots.select(
         F.col("host").alias("__r_host"),
         F.col("respect_disallow").alias("__r_respect"),
     )
     return (
-        frontier.join(F.broadcast(r), frontier.host == F.col("__r_host"), "left")
+        frontier.join(maybe_broadcast(r), frontier.host == F.col("__r_host"), "left")
         .filter(~(F.col("robots_disallow") & F.coalesce(F.col("__r_respect"), F.lit(False))))
         .drop("__r_host", "__r_respect")
     )
@@ -113,7 +140,7 @@ def admit_per_domain(
         F.col("host").alias("__d_host"),
         F.col("crawl_delay").alias("__d_delay"),
     )
-    f = frontier.join(F.broadcast(d), frontier.host == F.col("__d_host"), "left")
+    f = frontier.join(maybe_broadcast(d), frontier.host == F.col("__d_host"), "left")
     f = f.withColumn(
         "__budget",
         F.greatest(

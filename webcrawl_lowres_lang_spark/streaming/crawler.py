@@ -120,6 +120,11 @@ class CrawlEngine:
         self.robots = parse_robots_bodies(
             fx.gen_robots_bodies(spark, c.seed, c.n_hosts)
         ).cache()
+        # materialize eagerly: the admission path's broadcast hint is
+        # size-GATED (politeness.maybe_broadcast), and a materialized
+        # InMemoryRelation gives Catalyst exact bytes instead of a
+        # mapInPandas guess — one tiny job per crawl, not per round
+        self.robots.count()
         self.outlinks = fx.gen_outlinks(spark, c.seed, c.n_urls).cache()
 
         self.seen = SeenSet(

@@ -83,8 +83,78 @@ def test_jpeg_real_roundtrip_psnr_and_structure():
         assert psnr(img, dec) >= 40.0
 
 
+def test_jpeg_subsampled_roundtrip():
+    """4:2:2 and 4:2:0 MCU-interleaved streams (the layouts nearly all
+    real-world JPEGs use) decode through the generic sampling-grid path:
+    exact dims restored for odd sizes, luma fidelity unimpaired (>=38dB —
+    luma is never subsampled), full-RGB PSNR above the 28dB floor nearest
+    -neighbor chroma upsampling yields on the noisy synthetic renders."""
+    from webcrawl_lowres_lang_spark.functions.imaging import (
+        jpeg_decode,
+        jpeg_encode,
+        psnr,
+        render_image,
+    )
+
+    def luma(a):
+        return 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+
+    for ss in ("422", "420"):
+        for w, h in ((32, 32), (45, 33), (61, 80)):
+            img = render_image(11, f"ss-{ss}", w, h)
+            dec = jpeg_decode(jpeg_encode(img, quality=95, subsampling=ss))
+            assert dec.shape == (h, w, 3)
+            assert psnr(img, dec) >= 28.0
+            lp = 10 * np.log10(255.0**2 / ((luma(img) - luma(dec)) ** 2).mean())
+            assert lp >= 38.0
+
+
+def test_jpeg_restart_markers_decode_identically():
+    """DRI/RSTn streams carry the same coefficients split into restart
+    segments; decode must be pixel-identical to the unsegmented stream."""
+    from webcrawl_lowres_lang_spark.functions.imaging import (
+        jpeg_decode,
+        jpeg_encode,
+        render_image,
+    )
+
+    img = render_image(3, "rst", 48, 41)
+    for ss in ("444", "420"):
+        plain = jpeg_decode(jpeg_encode(img, quality=90, subsampling=ss))
+        for ri in (1, 3, 7):  # >8 restarts exercises RSTn modulo-8 cycling
+            rst = jpeg_decode(
+                jpeg_encode(img, quality=90, subsampling=ss, restart_interval=ri)
+            )
+            assert (rst == plain).all()
+
+
+def test_jpeg_grayscale_roundtrip():
+    """1-component (luma-only) streams decode via the non-interleaved
+    single-component scan path and replicate to RGB."""
+    from webcrawl_lowres_lang_spark.functions.imaging import (
+        jpeg_decode,
+        jpeg_encode,
+        psnr,
+        render_image,
+    )
+
+    img = render_image(5, "gray", 61, 40)
+    lum = (
+        (0.299 * img[:, :, 0].astype(np.float64) + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2])
+        .round().clip(0, 255).astype(np.uint8)
+    )
+    gray3 = np.stack([lum] * 3, axis=2)
+    for ri in (0, 5):
+        dec = jpeg_decode(jpeg_encode(img, quality=95, subsampling="gray", restart_interval=ri))
+        assert dec.shape == (40, 61, 3)
+        assert (dec[:, :, 0] == dec[:, :, 1]).all() and (dec[:, :, 1] == dec[:, :, 2]).all()
+        assert psnr(gray3, dec) >= 40.0
+
+
 def test_jpeg_decode_rejects_out_of_subset():
-    """Progressive / subsampled streams fail loudly, not wrongly."""
+    """Progressive streams fail loudly, not wrongly (and decode_image's
+    PIL fallback stays import-gated: absent in this sandbox, the original
+    NotImplementedError must surface)."""
     import numpy as np
     import pytest
 
@@ -101,6 +171,18 @@ def test_jpeg_decode_rejects_out_of_subset():
         jpeg_decode(bytes(data))
     with pytest.raises(ValueError):
         jpeg_decode(b"not a jpeg")
+
+    from webcrawl_lowres_lang_spark.functions.imaging import decode_image
+
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if not have_pil:
+        with pytest.raises(NotImplementedError):
+            decode_image(bytes(data), "jpeg")
 
 
 def test_jpeg_quality_monotone_and_deterministic():

@@ -263,10 +263,54 @@ def _plane_blocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
     return quant.reshape(-1, 64)[:, _ZIGZAG]
 
 
-def jpeg_encode(arr: np.ndarray, quality: int = 95) -> bytes:
-    """HxWx3 uint8 RGB -> baseline JFIF bytes (4:4:4, Annex K tables)."""
+_SUBSAMP = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
+def _pad_to(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    h, w = plane.shape
+    if h == ph and w == pw:
+        return plane
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def _box_down(plane: np.ndarray, fv: int, fh: int) -> np.ndarray:
+    """Box-average downsample by (fv, fh); pads to a factor multiple first."""
+    h, w = plane.shape
+    p = _pad_to(plane, -(-h // fv) * fv, -(-w // fh) * fh)
+    return p.reshape(p.shape[0] // fv, fv, p.shape[1] // fh, fh).mean(axis=(1, 3))
+
+
+def _mcu_block_order(mcuy: int, mcux: int, vc: int, hc: int) -> np.ndarray:
+    """Raster-block index for each block in MCU-interleaved order."""
+    my, mx = np.divmod(np.arange(mcuy * mcux), mcux)
+    by, bx = np.divmod(np.arange(vc * hc), hc)
+    return (
+        (my[:, None] * vc + by[None, :]) * (mcux * hc) + mx[:, None] * hc + bx[None, :]
+    ).reshape(-1)
+
+
+def jpeg_encode(
+    arr: np.ndarray,
+    quality: int = 95,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """HxWx3 uint8 RGB -> baseline JFIF bytes (Annex K tables).
+
+    subsampling: "444" (default, byte-identical to the round-4 encoder),
+    "422" (2x1 chroma), or "420" (2x2 chroma) with MCU-interleaved scan
+    layout per T.81 A.2.3. restart_interval > 0 emits a DRI segment and
+    RSTn markers every that-many MCUs (T.81 E.2.4) — the layouts nearly
+    all camera/libjpeg streams use, so the decoder below can be exercised
+    on realistic structure without any image library in the sandbox.
+    """
     if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError("jpeg_encode expects HxWx3 uint8")
+    if subsampling == "gray":
+        return _jpeg_encode_gray(arr, quality, restart_interval)
+    if subsampling not in _SUBSAMP:
+        raise ValueError(f"unsupported subsampling: {subsampling}")
+    hs, vs = _SUBSAMP[subsampling]
     h, w, _ = arr.shape
     r, g, b = (arr[:, :, i].astype(np.float64) for i in range(3))
     y = 0.299 * r + 0.587 * g + 0.114 * b
@@ -279,14 +323,16 @@ def jpeg_encode(arr: np.ndarray, quality: int = 95) -> bytes:
     for tid, qt in ((0, qt_l), (1, qt_c)):
         out += b"\xFF\xDB" + struct.pack(">HB", 67, tid) + bytes(qt[_ZIGZAG].astype(np.uint8))
     out += b"\xFF\xC0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
-    for cid, qid in ((1, 0), (2, 1), (3, 1)):
-        out += bytes([cid, 0x11, qid])
+    for cid, samp, qid in ((1, (hs << 4) | vs, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        out += bytes([cid, samp, qid])
     for tc_th, (bits, vals) in (
         (0x00, _HUFF_DC_LUMA), (0x10, _HUFF_AC_LUMA),
         (0x01, _HUFF_DC_CHROMA), (0x11, _HUFF_AC_CHROMA),
     ):
         out += b"\xFF\xC4" + struct.pack(">HB", 3 + 16 + len(vals), tc_th)
         out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
     out += b"\xFF\xDA" + struct.pack(">HB", 12, 3)
     for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
         out += bytes([cid, tabs])
@@ -296,21 +342,72 @@ def jpeg_encode(arr: np.ndarray, quality: int = 95) -> bytes:
     ac_l = _canonical_codes(*_HUFF_AC_LUMA)
     dc_c = _canonical_codes(*_HUFF_DC_CHROMA)
     ac_c = _canonical_codes(*_HUFF_AC_CHROMA)
+    mcux, mcuy = -(-w // (8 * hs)), -(-h // (8 * vs))
+    if hs > 1 or vs > 1:
+        cb, cr = _box_down(cb, vs, hs), _box_down(cr, vs, hs)
+    # pre-pad every plane to its exact MCU grid so raster block order from
+    # _plane_blocks maps onto MCU-interleaved order via _mcu_block_order
+    y = _pad_to(y, mcuy * vs * 8, mcux * hs * 8)
+    cb = _pad_to(cb, mcuy * 8, mcux * 8)
+    cr = _pad_to(cr, mcuy * 8, mcux * 8)
     planes = [
-        (_plane_blocks(y, qt_l), dc_l, ac_l),
-        (_plane_blocks(cb, qt_c), dc_c, ac_c),
-        (_plane_blocks(cr, qt_c), dc_c, ac_c),
+        (_plane_blocks(y, qt_l), dc_l, ac_l, _mcu_block_order(mcuy, mcux, vs, hs), hs * vs),
+        (_plane_blocks(cb, qt_c), dc_c, ac_c, _mcu_block_order(mcuy, mcux, 1, 1), 1),
+        (_plane_blocks(cr, qt_c), dc_c, ac_c, _mcu_block_order(mcuy, mcux, 1, 1), 1),
     ]
-    # 4:4:4 interleaved MCU = one block per component, raster order
     writer = _BitWriter()
     preds = [0, 0, 0]
-    n_blocks = planes[0][0].shape[0]
-    for i in range(n_blocks):
-        for c, (blocks, dct, act) in enumerate(planes):
-            preds[c] = _encode_blocks(writer, blocks[i : i + 1], dct, act, preds[c])
+    rst = 0
+    for m in range(mcuy * mcux):
+        if restart_interval and m and m % restart_interval == 0:
+            writer.flush()
+            writer.out += bytes([0xFF, 0xD0 + (rst & 7)])  # RSTn, not stuffed
+            rst += 1
+            preds = [0, 0, 0]
+        for c, (blocks, dct, act, order, bpm) in enumerate(planes):
+            sel = order[m * bpm : (m + 1) * bpm]
+            preds[c] = _encode_blocks(writer, blocks[sel], dct, act, preds[c])
     writer.flush()
     out += writer.out
     out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+def _jpeg_encode_gray(arr: np.ndarray, quality: int, restart_interval: int) -> bytes:
+    """1-component (luma only) baseline JFIF — the grayscale layout real
+    crawled JPEGs frequently use. Non-interleaved scan: MCU = 1 block."""
+    h, w, _ = arr.shape
+    y = (
+        0.299 * arr[:, :, 0].astype(np.float64)
+        + 0.587 * arr[:, :, 1]
+        + 0.114 * arr[:, :, 2]
+    )
+    qt_l = _scaled_qt(_QT_LUMA, quality)
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xFF\xDB" + struct.pack(">HB", 67, 0) + bytes(qt_l[_ZIGZAG].astype(np.uint8))
+    out += b"\xFF\xC0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
+    for tc_th, (bits, vals) in ((0x00, _HUFF_DC_LUMA), (0x10, _HUFF_AC_LUMA)):
+        out += b"\xFF\xC4" + struct.pack(">HB", 3 + 16 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xFF\xDA" + struct.pack(">HB", 8, 1) + bytes([1, 0x00]) + b"\x00\x3F\x00"
+    dc_l = _canonical_codes(*_HUFF_DC_LUMA)
+    ac_l = _canonical_codes(*_HUFF_AC_LUMA)
+    blocks = _plane_blocks(y, qt_l)
+    writer = _BitWriter()
+    pred, rst = 0, 0
+    for m in range(blocks.shape[0]):
+        if restart_interval and m and m % restart_interval == 0:
+            writer.flush()
+            writer.out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            pred = 0
+        pred = _encode_blocks(writer, blocks[m : m + 1], dc_l, ac_l, pred)
+    writer.flush()
+    out += writer.out
+    out += b"\xFF\xD9"
     return bytes(out)
 
 
@@ -356,15 +453,29 @@ def _huff_lut(bits: list[int], vals: list[int]) -> np.ndarray:
     return lut
 
 
-def _unstuff_entropy(data: bytes, pos: int) -> bytes:
-    """Strip 0xFF00 byte stuffing; stop at the first real marker (EOI)."""
-    end = pos
+def _entropy_segments(data: bytes, pos: int) -> list[bytes]:
+    """Split the entropy-coded data into unstuffed restart segments:
+    0xFF00 is byte stuffing (stripped), 0xFFD0-D7 are RSTn segment
+    boundaries, any other 0xFFxx marker ends the scan (EOI). A stream
+    with no restart markers yields exactly one segment."""
+    segs: list[bytes] = []
+    start = end = pos
     n = len(data)
     while end < n - 1:
-        if data[end] == 0xFF and data[end + 1] != 0x00:
+        if data[end] == 0xFF:
+            nxt = data[end + 1]
+            if nxt == 0x00:
+                end += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segs.append(data[start:end].replace(b"\xFF\x00", b"\xFF"))
+                end += 2
+                start = end
+                continue
             break
-        end += 1 + (data[end] == 0xFF)
-    return data[pos:end].replace(b"\xFF\x00", b"\xFF")
+        end += 1
+    segs.append(data[start:end].replace(b"\xFF\x00", b"\xFF"))
+    return segs
 
 
 def _extend(v: int, s: int) -> int:
@@ -373,15 +484,21 @@ def _extend(v: int, s: int) -> int:
 
 def jpeg_decode(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> HxWx3 uint8 RGB; every table comes from the
-    file's own DQT/DHT segments. Supports the encoder's subset: baseline
-    sequential, 3 components, 4:4:4 (raises on subsampled/progressive)."""
+    file's own DQT/DHT segments. Supports baseline sequential streams with
+    ANY integer sampling grid (4:4:4, 4:2:2, 4:2:0, ...), restart markers
+    (DRI/RSTn), and 1-component grayscale — the layouts covering nearly
+    all real-world libjpeg/camera output. Raises NotImplementedError on
+    progressive scans (SOF2) and 12-bit/arithmetic variants; decode_image
+    falls back to PIL for those when it is importable."""
     if not data.startswith(b"\xFF\xD8"):
         raise ValueError("not a JPEG")
     pos = 2
     qts: dict[int, np.ndarray] = {}
     huffs: dict[int, dict[tuple[int, int], int]] = {}
     h = w = 0
+    restart_interval = 0
     comp_qt: dict[int, int] = {}
+    comp_samp: dict[int, tuple[int, int]] = {}
     comp_tabs: dict[int, int] = {}
     comp_order: list[int] = []
     while pos < len(data):
@@ -412,12 +529,13 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 vals = list(body[i + 17 : i + 17 + nvals])
                 huffs[tc_th] = _huff_lut(bits, vals)
                 i += 17 + nvals
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xC0:
             _prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             for c in range(ncomp):
                 cid, samp, qid = body[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise NotImplementedError("only 4:4:4 sampling supported")
+                comp_samp[cid] = (samp >> 4, samp & 0xF)
                 comp_qt[cid] = qid
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise NotImplementedError("only baseline sequential JPEG supported")
@@ -428,22 +546,55 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 comp_tabs[cid] = tabs
                 comp_order.append(cid)
             break  # entropy data follows
-    reader = _FastBits(_unstuff_entropy(data, pos))
-    bh, bw = -(-h // 8), -(-w // 8)
-    n_blocks = bh * bw
+    if len(comp_order) not in (1, 3):
+        raise NotImplementedError("only 1- or 3-component scans supported")
+    if len(comp_order) == 1:
+        # non-interleaved single-component scan: MCU = 1 block, the
+        # declared sampling factors do not shape the scan (T.81 A.2.2)
+        samp = {comp_order[0]: (1, 1)}
+    else:
+        samp = {cid: comp_samp[cid] for cid in comp_order}
+    hmax = max(s[0] for s in samp.values())
+    vmax = max(s[1] for s in samp.values())
+    for hc, vc in samp.values():
+        if hc < 1 or vc < 1 or hmax % hc or vmax % vc:
+            raise NotImplementedError("non-integer subsampling ratio")
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    n_mcus = mcux * mcuy
     # pass 1: entropy-decode every block's zigzag coefficients (the only
     # inherently sequential part); pass 2 below dequantizes + IDCTs ALL
-    # blocks per component in one einsum
-    coeffs = [np.zeros((n_blocks, 64), dtype=np.int32) for _ in comp_order]
+    # blocks per component in one einsum. Per-MCU template: one entry per
+    # block = (comp idx, dc lut, ac lut, raster-index offset grid).
+    coeffs = []
+    template = []
+    for c, cid in enumerate(comp_order):
+        hc, vc = samp[cid]
+        coeffs.append(np.zeros((mcuy * vc * mcux * hc, 64), dtype=np.int32))
+        tabs = comp_tabs[cid]
+        dc_lut, ac_lut = huffs[tabs >> 4], huffs[0x10 | (tabs & 0xF)]
+        for by in range(vc):
+            for bx in range(hc):
+                # raster index of this block for MCU (my, mx):
+                #   (my*vc + by) * (mcux*hc) + mx*hc + bx
+                template.append(
+                    (c, dc_lut, ac_lut, vc * mcux * hc, by * mcux * hc + bx, hc)
+                )
+    segments = _entropy_segments(data, pos)
+    seg_i = 0
+    reader = _FastBits(segments[0])
     preds = [0] * len(comp_order)
     peek16, skip, take = reader.peek16, reader.skip, reader.take
-    tabpairs = []
-    for cid in comp_order:
-        tabs = comp_tabs[cid]
-        tabpairs.append((huffs[tabs >> 4], huffs[0x10 | (tabs & 0xF)]))
-    for i in range(n_blocks):
-        for c, (dc_lut, ac_lut) in enumerate(tabpairs):
-            zz = coeffs[c][i]
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError("missing restart segment in JPEG stream")
+            reader = _FastBits(segments[seg_i])
+            peek16, skip, take = reader.peek16, reader.skip, reader.take
+            preds = [0] * len(comp_order)
+        my, mx = divmod(m, mcux)
+        for c, dc_lut, ac_lut, row_stride, off, hc in template:
+            zz = coeffs[c][my * row_stride + mx * hc + off]
             entry = int(dc_lut[peek16()])
             if not entry & 0xFF:
                 # unassigned LUT slot = no canonical code matches this
@@ -472,15 +623,22 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 k += 1
     planes = []
     for c, cid in enumerate(comp_order):
+        hc, vc = samp[cid]
+        rows, cols = mcuy * vc, mcux * hc
         # dequant in zigzag order, scatter to raster, one batched IDCT
         deq = coeffs[c].astype(np.float64) * qts[comp_qt[cid]][_ZIGZAG]
-        raster = np.zeros((n_blocks, 64))
+        raster = np.zeros((rows * cols, 64))
         raster[:, _ZIGZAG] = deq
         pix = np.einsum("ux,nuv,vy->nxy", _C8, raster.reshape(-1, 8, 8), _C8) + 128.0
-        planes.append(
-            pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
-        )
-    y, cb, cr = (p[:h, :w] for p in planes)
+        plane = pix.reshape(rows, cols, 8, 8).transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8)
+        fy, fx = vmax // vc, hmax // hc
+        if fy > 1 or fx > 1:  # nearest-neighbor chroma upsample
+            plane = plane.repeat(fy, axis=0).repeat(fx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        y = planes[0].clip(0, 255).round().astype(np.uint8)
+        return np.stack([y, y, y], axis=2)
+    y, cb, cr = planes
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
@@ -496,17 +654,39 @@ def jpeg_encode_standin(arr: np.ndarray) -> bytes:
     return png_encode(quant)
 
 
+def _pil_decode(data: bytes) -> "np.ndarray | None":
+    """Decode via PIL when importable (absent in this sandbox); returns
+    None when the library is unavailable so callers can re-raise the
+    original NotImplementedError. Mirrors extract_pdf's PyPDF2 fallback:
+    the pure-numpy codec is the tested path, the library the wider net."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError:
+        return None
+    return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), dtype=np.uint8)
+
+
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
     """Decode stored bytes -> HxWx3 uint8 pixels.
 
     png -> pure-numpy PNG decoder. jpeg -> the REAL baseline JFIF decoder
     (SOI magic), or the legacy round-3 PNG-container stand-in (PNG magic).
+    JPEG variants outside the numpy codec's subset (progressive,
+    12-bit/arithmetic) fall back to PIL when importable.
     """
     if fmt == "png":
         return png_decode(data)
     if fmt == "jpeg":
         if data.startswith(b"\xFF\xD8"):
-            return jpeg_decode(data)  # REAL baseline JFIF (pure numpy)
+            try:
+                return jpeg_decode(data)  # REAL baseline JFIF (pure numpy)
+            except NotImplementedError:
+                pixels = _pil_decode(data)
+                if pixels is not None:
+                    return pixels
+                raise
         if data.startswith(_PNG_MAGIC):
             return png_decode(data)  # legacy round-3 stand-in container
         raise NotImplementedError("unrecognized jpeg container")

@@ -439,12 +439,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # + group) — never a cross join; the index join only pairs docs sharing a
     # shingle, which is also the 100 TB-scale formulation.
     #
-    # Deliberately KEEPS the a/b self-join (unlike minhash/embedding LSH,
-    # which collect bucket id-lists): exact Jaccard cannot cap hot
-    # shingles, so a collect_list per shingle would funnel a stop-shingle's
-    # quadratic pair expansion into ONE task, while the join form spreads
-    # the same pairs across the shuffle. The double subtree evaluation is
-    # the price of exactness + skew-resistance here.
+    # Deliberately count-based (the pair's emission multiplicity IS the
+    # intersection size), not prefix-filter + per-pair array verification:
+    # at t=0.3 the Bayardo/Chaudhuri prefix keeps |d|-ceil(0.3|d|)+1 ≈ 70%
+    # of postings, so candidates barely shrink (measured: 3.46M candidates
+    # for 143k true pairs on the 10x corpus) while per-pair array_intersect
+    # verification costs ~25x the codegen hash-agg count — prefix filtering
+    # only pays at high thresholds (t >= 0.7). Likewise rejected, with
+    # round-5 measurements:
+    #   * carrying doc sizes inline through the pair shuffle for a
+    #     pre-agg length filter — near-dup corpora have near-equal sizes
+    #     (the filter prunes ~nothing), every shuffle row doubles in
+    #     width, and a projection holding BOTH size(arr) and explode(arr)
+    #     makes Generate re-evaluate the whole tokenize/shingle chain PER
+    #     EXPLODED ROW (measured 6x whole-query regression);
+    #   * persisting the postings (flat or as arrays) to evaluate the
+    #     shingle chain once instead of three times — the InMemoryRelation
+    #     build path evaluates the higher-order-function chain far slower
+    #     than the same chain pipelined into codegen'd shuffle map stages
+    #     (measured 4-10x worse at 10x data), and array-typed cache
+    #     columns are slower still.
+    # What DOES hold at scale: everything stays pipelined (three
+    # evaluations of the cheap shingle subtree, zero materialization
+    # barriers), and the pair join keys are xxhash64 longs taken right
+    # after the explode — an 8-byte shuffle key instead of a ~20-char
+    # string on the quadratic-side shuffle (64-bit collisions negligible
+    # vs dedup_exact's md5 pass). The a/b self-join keeps hot-shingle
+    # pair expansion spread across the shuffle instead of funneling it
+    # into one collect_list task.
+    T = 0.3
     fr_ids = (
         load(spark, sf_dir, "documents")
         .filter(F.col("lang") == "fr")
@@ -454,16 +477,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = corpus.join(
         F.broadcast(fr_ids), (F.col("doc_id") % 1_000_000) == F.col("fr_id"), "left_semi"
     )
-    sh = (
+    post = (
         corpus.withColumn("__t", _tokens_col())
         .withColumn("__sh", _shingles(F.col("__t")))
         .select("doc_id", F.explode(F.array_distinct("__sh")).alias("s"))
+        .select("doc_id", F.xxhash64("s").alias("h"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    sizes = post.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = post.select(F.col("doc_id").alias("doc_a"), "h")
+    b = post.select(F.col("doc_id").alias("doc_b"), "h")
     inter = (
-        a.join(b, "s")
+        a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("i"))
@@ -474,7 +498,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("jac", F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i")))
-        .filter(F.col("jac") >= 0.3)
+        .filter(F.col("jac") >= T)
         .select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
     )
 

@@ -191,3 +191,40 @@ class OracleCrawl:
     def fetch_order(self) -> list[tuple[int, str]]:
         st = self.run()
         return [(f.round, f.url_canon) for f in st.fetches]
+
+
+def expected_smoke_ledger_frame():
+    """Expected fetch-ledger projection for the driver's crawl_round_smoke
+    query, derived by running this sequential oracle under the SAME
+    SMOKE_CFG the registered query uses. Written to tests/fixtures/
+    crawl_smoke_expected.parquet (committed; drift-regen-gated in
+    test_crawl_parity.py) and read by the query's DuckDB oracle SQL."""
+    import pandas as pd
+
+    from webcrawl_lowres_lang_spark.plans.crawl_ops import SMOKE_CFG
+
+    st = OracleCrawl(CrawlConfig(**SMOKE_CFG)).run()
+    df = pd.DataFrame(
+        [
+            {
+                "round": f.round,
+                "fetch_seq": f.seq,
+                "url_canon": f.url_canon,
+                "url_hash": f.url_hash,
+                "domain": f.domain,
+                "depth": f.depth,
+                "priority": f.priority,
+                "status": f.status,
+                "image_id": f.image_id,
+                "caption_score": f.caption_score,
+            }
+            for f in st.fetches
+        ]
+    )
+    for c, t in (
+        ("round", "int32"), ("fetch_seq", "int64"), ("url_hash", "int64"),
+        ("depth", "int32"), ("status", "int32"),
+        ("priority", "float64"), ("caption_score", "float64"),
+    ):
+        df[c] = df[c].astype(t)
+    return df

@@ -292,3 +292,18 @@ def test_ttl_expire_bloom_requires_rebuild(spark, tmp_path):
         rows.select("url_id", "depth", F.lit(0.0).alias("relevance"))
     ))
     assert {r["url_hash"] for r in fresh.select("url_hash").collect()} == hashes
+
+
+def test_smoke_ledger_fixture_in_sync():
+    """The committed crawl_round_smoke oracle fixture (tests/fixtures/
+    crawl_smoke_expected.parquet) must equal a fresh regeneration of the
+    sequential oracle under SMOKE_CFG — a drift guard so the driver's
+    hash-checked crawl oracle can never silently pin stale expectations.
+    Regen: tests.reference_oracle.expected_smoke_ledger_frame().to_parquet(
+    'tests/fixtures/crawl_smoke_expected.parquet', index=False)."""
+    import pandas as pd
+
+    from .reference_oracle import expected_smoke_ledger_frame
+
+    committed = pd.read_parquet("tests/fixtures/crawl_smoke_expected.parquet")
+    pd.testing.assert_frame_equal(committed, expected_smoke_ledger_frame())

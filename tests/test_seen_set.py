@@ -129,3 +129,61 @@ def test_build_bloom_after_restart(spark, seen):
     assert bloom.might_contain(np.arange(500, dtype=np.int64)).all()
     fresh = s2.filter_unseen(_hash_df(spark, range(450, 550)))
     assert sorted(r["url_hash"] for r in fresh.collect()) == list(range(500, 550))
+
+
+def _cuckoo_seen(spark, tmp_path, name, capacity=200_000):
+    from webcrawl_lowres_lang_spark.operators.cuckoo import CuckooConfig
+
+    return SeenSet(
+        spark, str(tmp_path / name), n_buckets=8, filter_kind="cuckoo",
+        cuckoo_config=CuckooConfig(capacity=capacity, num_shards=8),
+    )
+
+
+def test_expire_distributed_matches_collect_path(spark, tmp_path):
+    """The shard-parallel expiry path (large batches) must leave the live
+    cuckoo filter in the same observable state as the driver-collect path
+    on identical inputs — same removal count, same might_contain on kept
+    keys, same re-admission of expired keys."""
+    keys = list(range(1, 5001))
+    expired = list(range(1, 2001))
+    states = {}
+    for name, threshold in (("collect", 10**9), ("dist", 0)):
+        s = _cuckoo_seen(spark, tmp_path, name, capacity=20_000)
+        s.enable_empty_bloom()
+        s.add(_hash_df(spark, keys), assume_new=True)
+        removed = s.expire(_hash_df(spark, expired), distributed_threshold=threshold)
+        assert removed == len(expired)
+        probes = np.array(keys, dtype=np.int64)
+        states[name] = (s.count(), s._bloom.might_contain(probes).tolist())
+    assert states["collect"] == states["dist"]
+
+
+def test_expire_large_batch_distributed_no_driver_keys(spark, tmp_path, monkeypatch):
+    """Expiring >=100k keys takes the distributed path: the driver-side
+    PartitionedCuckoo.delete_many is stubbed to fail (class-level patch —
+    driver calls hit it, executor-side shard deletes and the instance
+    pickle are untouched), so the test can only pass if no key list
+    materializes on the driver. All expired keys are re-admitted
+    afterwards; kept keys keep the no-false-negative guarantee."""
+    from webcrawl_lowres_lang_spark.operators.cuckoo import PartitionedCuckoo
+
+    n, n_exp = 150_000, 120_000
+    s = _cuckoo_seen(spark, tmp_path, "big")
+    s.enable_empty_bloom()
+    all_keys = spark.range(1, n + 1).selectExpr("id AS url_hash")
+    assert s.add(all_keys, assume_new=True) == n
+    expired = spark.range(1, n_exp + 1).selectExpr("id AS url_hash")
+
+    def _fail(*_a, **_k):  # pins the code path, not just the outcome
+        raise AssertionError("driver-side delete_many used for a large batch")
+
+    monkeypatch.setattr(PartitionedCuckoo, "delete_many", _fail)
+    assert s.expire(expired) == n_exp  # default threshold 100k < 120k
+    monkeypatch.undo()
+    assert s.count() == n - n_exp
+
+    kept = np.arange(n_exp + 1, n + 1, dtype=np.int64)
+    assert s._bloom.might_contain(kept).all(), "false negative on kept keys"
+    readmit = s.filter_unseen(expired)
+    assert readmit.count() == n_exp

@@ -131,6 +131,7 @@ class CuckooShard:
         key per bucket per pass (SLOTS passes). Returns the indices still
         unplaced (full primary bucket -> per-key eviction walk)."""
         todo = np.arange(len(fps))
+        placed_all: set[int] = set()
         for _ in range(SLOTS):
             if not len(todo):
                 break
@@ -144,6 +145,7 @@ class CuckooShard:
                 slot = np.argmax(self.table[i1s[place]] == 0, axis=1)
                 self.table[i1s[place], slot] = fps[place]
             placed = set(place.tolist())
+            placed_all |= placed
             # keys whose bucket was full leave the fast path immediately
             full = set(chosen[~has_free].tolist())
             todo = np.array(
@@ -152,29 +154,43 @@ class CuckooShard:
             )
             if not len(todo):
                 todo = np.zeros(0, dtype=np.int64)
-        leftovers = sorted(set(range(len(fps))) - self._placed_set(i1s, fps))
+        # placement truth is tracked DIRECTLY (placed_all), never inferred
+        # from fingerprint presence: a pre-existing copy of a colliding key
+        # would otherwise mark an unplaced key "placed" and collapse the
+        # multiset (a later delete of the resident would false-negative it)
+        leftovers = sorted(set(range(len(fps))) - placed_all)
         return np.array(leftovers, dtype=np.int64)
 
-    def _placed_set(self, i1s: np.ndarray, fps: np.ndarray) -> set[int]:
-        """Indices whose (i1, fp) is now present in the primary bucket —
-        used to compute fast-path leftovers without extra bookkeeping."""
-        hit = (self.table[i1s] == fps.astype(np.uint16)[:, None]).any(axis=1)
-        return set(np.nonzero(hit)[0].tolist())
-
     def add_many(self, keys: np.ndarray, max_kicks: int = 500) -> None:
+        """MULTISET insert: every key stores its own fingerprint copy.
+
+        Distinct keys that collide on (bucket-pair, fp) are
+        indistinguishable to the filter, so the second copy is the only
+        thing that keeps ``delete_many`` of one key from false-negativing
+        the other (with XOR partner buckets a shared (bucket, fp) implies
+        a shared PAIR, so the copies always land in the same pair). The
+        earlier idempotent-skip collapsed exactly that multiplicity —
+        measured ~1 false negative per 120k mass-deletes. Callers
+        (SeenSet.add) anti-join against the exact table first, so each
+        distinct URL hash is still inserted at most once."""
         if len(keys) == 0:
             return
         fps = _fingerprints(keys)
         i1s = self._i1(keys)
-        # skip keys whose fingerprint already sits in either candidate
-        # bucket (idempotent insert — the seen-set semantic)
-        present = self._contained(i1s, fps)
-        fresh = np.nonzero(~present)[0]
-        if not len(fresh):
-            return
-        rest = self._bulk_place(i1s[fresh], fps[fresh])
+        # first copy per (i1, fp) goes through the vectorized fast path;
+        # intra-batch duplicate copies take the per-key walk (which stores
+        # unconditionally)
+        pk = i1s * 65536 + fps.astype(np.int64)
+        _, first = np.unique(pk, return_index=True)
+        mask = np.zeros(len(keys), dtype=bool)
+        mask[first] = True
+        bulk = np.nonzero(mask)[0]
+        rest = self._bulk_place(i1s[bulk], fps[bulk])
         for j in rest.tolist():
-            i1, fp = int(i1s[fresh[j]]), int(fps[fresh[j]])
+            i1, fp = int(i1s[bulk[j]]), int(fps[bulk[j]])
+            self._place(i1, fp, max_kicks, (i1 * 31 + fp) & 0xFFFFFFFF)
+        for j in np.nonzero(~mask)[0].tolist():
+            i1, fp = int(i1s[j]), int(fps[j])
             self._place(i1, fp, max_kicks, (i1 * 31 + fp) & 0xFFFFFFFF)
 
     def delete_many(self, keys: np.ndarray) -> int:

@@ -10,6 +10,17 @@ URLs the anti-join probe side shrinks from |candidates| to
 affordable; the exact table is bucketed by ``pmod(url_hash, n_buckets)``
 so the join shuffles only matching buckets and scans prune to the buckets
 present in the candidate batch.
+
+Filter sizing (measured at 10^8 keys — BASELINE.md "seen-filter
+capacity"): 1% fpp costs 9.59 bits/key, so 10^8 keys = 114 MiB (easy
+broadcast) and the 10^10 north-rule capacity = ~11.2 GiB / 358 MiB per
+shard — still broadcastable onto large-memory executors. Past
+broadcast-friendly sizes, repartition the probe side by the filter's own
+``shard_of`` so each executor task probes only the shards its partition
+maps to (shard-aligned pruning: per-task filter footprint drops to
+total/num_shards), or drop the Bloom fast path entirely — the bucketed
+exact anti-join alone still gives correct dedup, just without the probe
+shrink.
 """
 
 from __future__ import annotations
@@ -193,7 +204,7 @@ class SeenSet:
         out.unpersist()
         return n
 
-    def expire(self, keys: DataFrame) -> int:
+    def expire(self, keys: DataFrame, distributed_threshold: int = 100_000) -> int:
         """TTL re-crawl / host retraction (reference analog: the bulk
         reset ops, sql.py:312-334): remove ``url_hash`` keys from the seen
         set so they are admitted again. Returns keys actually removed.
@@ -212,31 +223,85 @@ class SeenSet:
         avoids). The exact table rewrite is the tablestore seam's
         row-level DELETE (Iceberg: rewrite affected files + snapshot).
 
-        The expiry batch is collected to the driver for the filter
-        delete — bounded by policy (one host / one TTL window), never by
-        crawl size; the table rewrite itself stays distributed.
+        Small batches (one host / one TTL window) collect the verified
+        key list to the driver for the O(1) fingerprint drops. Batches
+        above ``distributed_threshold`` keys — a whole-large-host
+        retraction can be millions — never materialize the key list on
+        the driver: the delete set stays distributed, grouped by filter
+        shard, and each executor task deep-copies its shard from the live
+        broadcast, drops that group's fingerprints, and ships back the
+        UPDATED SHARD (driver traffic bounded by filter size, not delete
+        count). The table rewrite itself stays distributed in both modes.
         """
         present = (
             self._with_bucket(keys.select("url_hash").distinct())
             .join(self.load().select("bucket", "url_hash"), ["bucket", "url_hash"], "left_semi")
             .cache()
         )
-        hashes = [r["url_hash"] for r in present.select("url_hash").collect()]
-        if not hashes:
+        n = present.count()
+        if not n:
             present.unpersist()
             return 0
         remaining = self.load().join(present, ["bucket", "url_hash"], "left_anti")
         rewrite_table(remaining, self.path, partition_by=("bucket",))
-        present.unpersist()
         if self._bloom is not None:
             if self.filter_kind == "cuckoo":
                 import numpy as np
 
-                self._bloom.delete_many(np.array(hashes, dtype=np.int64))
+                if n <= distributed_threshold:
+                    hashes = [r["url_hash"] for r in present.select("url_hash").collect()]
+                    self._bloom.delete_many(np.array(hashes, dtype=np.int64))
+                else:
+                    self._distributed_cuckoo_delete(present)
                 self._rebroadcast()
             else:
                 self.build_bloom()
-        return len(hashes)
+        present.unpersist()
+        return n
+
+    def _distributed_cuckoo_delete(self, present: DataFrame) -> None:
+        """Shard-parallel fingerprint deletion: group verified-present
+        keys by filter shard (same ``shard_of`` as the filter itself, run
+        in a vectorized pandas UDF so the sharding function can never
+        drift), deep-copy each touched shard from the live broadcast on
+        an executor, delete that group's fingerprints there, and swap the
+        returned shard blobs into the driver-side filter. No key list ever
+        materializes on the driver."""
+        import copy
+        import pickle
+
+        import numpy as np
+
+        from .cuckoo import shard_of
+
+        bc = self._bloom_bc
+        num_shards = self._bloom.config.num_shards
+
+        @F.pandas_udf("int")
+        def shard_col(keys: pd.Series) -> pd.Series:
+            return pd.Series(
+                shard_of(keys.to_numpy(dtype=np.int64), num_shards).astype("int32")
+            )
+
+        def drop_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            sid = int(pdf["shard"].iloc[0])
+            shard = bc.value.shards.get(sid)
+            if shard is None:  # key verified present yet shard empty: impossible
+                return pd.DataFrame({"sid": [sid], "blob": [b""]})
+            local = copy.deepcopy(shard)
+            local.delete_many(pdf["url_hash"].to_numpy(dtype=np.int64))
+            return pd.DataFrame({"sid": [sid], "blob": [pickle.dumps(local)]})
+
+        rows = (
+            present.select("url_hash")
+            .withColumn("shard", shard_col(F.col("url_hash")))
+            .groupBy("shard")
+            .applyInPandas(drop_group, "sid int, blob binary")
+            .collect()
+        )
+        for r in rows:
+            if r["blob"]:
+                self._bloom.shards[r["sid"]] = pickle.loads(bytes(r["blob"]))
 
     # -- bloom lifecycle -------------------------------------------------------
 

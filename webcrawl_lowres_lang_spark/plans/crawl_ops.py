@@ -11,6 +11,8 @@ oracle in tests/test_crawl_parity.py and smoke-exposed here rows-only.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -637,35 +639,53 @@ def u3_text_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_text_stage(d)
 
 
+# Exact smoke-crawl configuration shared by the registered query, the
+# committed expected-ledger fixture (tests/fixtures/crawl_smoke_expected.
+# parquet), and the drift-regen gate (tests/test_crawl_parity.py) — all
+# three must agree or the oracle is meaningless.
+SMOKE_CFG = dict(
+    n_urls=300, n_pages=24, n_hosts=12, n_lexicon_terms=24, query_count=2,
+    num_search_pages=1, host_budget=3, rounds=1, validate_pixels=False,
+)
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+_FIXTURES_DIR = os.path.join(_REPO_ROOT, "tests", "fixtures")
+
+
 @register(
     "crawl_round_smoke",
-    oracle=None,  # full distributed loop; parity-tested in pytest instead
+    oracle=f"""
+    SELECT round, fetch_seq, url_canon, url_hash, domain, depth,
+           priority, status, image_id, caption_score
+    FROM read_parquet('{os.path.join(_FIXTURES_DIR, "crawl_smoke_expected.parquet")}')
+    """,
     survey_ref="T1-T7,J5,W9,U2,U6,U8",
     tags=("crawl",),
 )
 def crawl_round_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One politeness-budgeted crawl round over the synthetic web: returns
-    # the fetch ledger (rows-only driver check; the exact-ordering gate is
-    # tests/test_crawl_parity.py).
+    # the fetch ledger. Since round 5 this is a FULL hash-checked oracle:
+    # the DuckDB twin reads a committed fixture parquet of the sequential
+    # reference-semantics oracle's expected ledger (tests/reference_oracle.
+    # py OracleCrawl under the same SMOKE_CFG — the same independent
+    # re-derivation the parity suite pins ordering/seen-set/scores
+    # against), drift-regen-gated in tests/test_crawl_parity.py. The
+    # structural-invariant filters are kept: a broken sequencing/hashing/
+    # admission path still shows up as missing rows, and now also as a
+    # value-hash mismatch.
     import tempfile
 
     from ..streaming.crawler import CrawlConfig, CrawlEngine
 
-    cfg = CrawlConfig(
-        n_urls=300, n_pages=24, n_hosts=12, n_lexicon_terms=24, query_count=2,
-        num_search_pages=1, host_budget=3, rounds=1, validate_pixels=False,
-    )
+    cfg = CrawlConfig(**SMOKE_CFG)
     eng = CrawlEngine(spark, cfg, tempfile.mkdtemp(prefix="crawl_smoke_"))
     eng.run()
     led = eng.ledger_df().select(
         "round", "fetch_seq", "url_canon", "url_hash", "domain", "depth",
         "priority", "status", "image_id", "caption_score",
-        "rejected", "lang_label", "dup_of",
     )
-    # rows-only check WITH TEETH: every row must satisfy the engine's
-    # structural invariants, and the query FILTERS on them — a broken
-    # sequencing/hashing/admission path shows up as missing rows in the
-    # driver report, not as silently-wrong output.
     w = Window.partitionBy("round").orderBy("fetch_seq")
     return (
         led.withColumn("__rn", F.row_number().over(w))

@@ -1261,6 +1261,19 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Integer dot products -> exact math -> deterministic argmax (tie-break
     # on lang). This is the engine's lingua stand-in (reference U1) built
     # from first principles.
+    scored = _langid_scored(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("plang"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("plang").alias("predicted_lang"))
+    )
+
+
+def _langid_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, plang, score) for every doc x language profile — the
+    shared trigram-model subtree behind text_langid_ngram (argmax) and
+    text_langid_confidence (calibrated threshold labeling)."""
     toks = load(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.explode(_tokens_col()).alias("tok")
     ).filter(F.length("tok") >= 3)
@@ -1287,14 +1300,79 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("dc") * F.col("pc")).cast("long").alias("dot"))
     )
     pn = profile.groupBy("plang").agg(F.sum(F.col("pc") * F.col("pc")).cast("long").alias("pnorm2"))
-    scored = dots.join(pn, "plang").withColumn(
+    return dots.join(pn, "plang").withColumn(
         "score", F.col("dot") * F.col("dot") * 1.0 / F.col("pnorm2")
     )
+
+
+@register(
+    "text_langid_confidence",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({_TOKENS}) AS tok FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang, unnest(
+        list_transform(range(1, greatest(len(tok) - 2, 0) + 1),
+                       i -> substr(tok, i, 3))) AS g
+      FROM toks WHERE len(tok) >= 3
+    ),
+    profile AS (
+      SELECT lang AS plang, g, COUNT(*) AS pc FROM grams GROUP BY lang, g
+    ),
+    docg AS (SELECT doc_id, g, COUNT(*) AS dc FROM grams GROUP BY doc_id, g),
+    dots AS (
+      SELECT d.doc_id, p.plang, CAST(SUM(d.dc * p.pc) AS BIGINT) AS dot
+      FROM docg d JOIN profile p ON d.g = p.g
+      GROUP BY d.doc_id, p.plang
+    ),
+    pn AS (SELECT plang, CAST(SUM(pc * pc) AS BIGINT) AS pnorm2 FROM profile GROUP BY plang),
+    scores AS (
+      SELECT d.doc_id, d.plang, d.dot * d.dot * 1.0 / pn.pnorm2 AS score
+      FROM dots d JOIN pn ON pn.plang = d.plang
+    ),
+    tot AS (SELECT doc_id, SUM(score) AS tot FROM scores GROUP BY doc_id),
+    top AS (
+      SELECT doc_id, plang, score FROM (
+        SELECT doc_id, plang, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, plang ASC) AS rn
+        FROM scores) WHERE rn = 1
+    )
+    SELECT p.doc_id,
+           p.plang AS predicted_lang,
+           ROUND(p.score / t.tot, 6) AS confidence,
+           CASE WHEN ROUND(p.score / t.tot, 6) > 0.5 THEN p.plang
+                ELSE 'NON-' || p.plang END AS label
+    FROM top p JOIN tot t ON p.doc_id = t.doc_id
+    """,
+    survey_ref="U1,F11",
+    tags=("text",),
+)
+def text_langid_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Calibrated confidence for the trigram langid (reference U1/F11
+    # semantics, nlp.py:403-416: lingua's top-language confidence compared
+    # against a threshold; below it the doc is labeled NON-<lang>). The
+    # trigram model's per-lang scores are normalized into a [0,1]
+    # distribution over languages: confidence = score_top / sum(scores).
+    # The threshold compares the ROUNDED confidence on both engines so a
+    # borderline double can never flip the label between Spark and the
+    # oracle. 0.5 plays the role of the reference's 0.98 — the reference
+    # threshold is lingua-calibrated; this one splits a 3-language
+    # trigram-score simplex (uniform = 1/3) at "more likely than all
+    # others combined".
+    scored = _langid_scored(spark, sf_dir)
+    tot = scored.groupBy("doc_id").agg(F.sum("score").alias("tot"))
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("plang"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("plang").alias("predicted_lang"))
+    top = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    conf = F.round(F.col("score") / F.col("tot"), 6)
+    return top.join(tot, "doc_id").select(
+        "doc_id",
+        F.col("plang").alias("predicted_lang"),
+        conf.alias("confidence"),
+        F.when(conf > 0.5, F.col("plang"))
+        .otherwise(F.concat(F.lit("NON-"), F.col("plang")))
+        .alias("label"),
     )
 
 

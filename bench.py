@@ -43,6 +43,18 @@ CRAWL_BENCH = dict(
     host_budget=16, rounds=2, validate_pixels=False,
 )
 
+# Skew-stress leg: n_hosts=8 puts ~50% of all URLs on ONE registrable
+# domain (host_for's u^3 Zipf: P(host0) = (1/8)^(1/3) = 0.5) — the
+# pathological frontier the salted two-phase admission exists for
+# (reference analog: the host-skew display, display.py:86-97). host_budget
+# scales up so total fetch capacity stays comparable to the uniform leg;
+# the metric isolates SCHEDULING cost under skew, not politeness-budget
+# semantics.
+CRAWL_SKEW = dict(
+    n_urls=30_000, n_pages=300, n_hosts=8, query_count=24, num_search_pages=4,
+    host_budget=4000, rounds=2, validate_pixels=False,
+)
+
 
 def _force(df) -> None:
     """Execute the full plan without collecting to the driver."""
@@ -211,6 +223,20 @@ def main() -> None:
         seen_total = eng.seen.count()
     hw_crawl_after = hw_mops()
 
+    # skew-stress crawl: same volume, ~50% of URLs on one domain
+    with tempfile.TemporaryDirectory() as td:
+        t0 = time.perf_counter()
+        eng_skew = CrawlEngine(spark, CrawlConfig(**CRAWL_SKEW), td)
+        eng_skew.run()
+        skew_secs = time.perf_counter() - t0
+        led = eng_skew.ledger_df()
+        skew_fetched = led.count()
+        top = (
+            led.groupBy("domain").count().orderBy("count", ascending=False).first()
+        )
+        top_share = round(top["count"] / max(skew_fetched, 1), 3) if top else 0.0
+    hw_skew_after = hw_mops()
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline-suite-seconds",
@@ -228,6 +254,13 @@ def main() -> None:
             "urls_per_sec": round(fetched / crawl_secs, 2),
             # capacity window bracketing the crawl phase specifically
             "hw_mops": {"before": hw_crawl_before, "after": hw_crawl_after},
+        },
+        "crawl_skew": {
+            "urls_fetched": skew_fetched,
+            "top_domain_share": top_share,
+            "secs": round(skew_secs, 3),
+            "urls_per_sec": round(skew_fetched / skew_secs, 2),
+            "hw_mops": {"before": hw_crawl_after, "after": hw_skew_after},
         },
         "cpus": DEFAULT_CPUS,
         # contemporaneous pure-CPU capacity samples (sandbox VM drifts ~3x)

@@ -218,10 +218,12 @@ _MINHASH_SIG_SQL = "[" + ", ".join(
 ) + "]"
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH corpus AS ({_DOCS_MUTATED_SQL}),
+def _minhash_pair_ctes(corpus_sql: str) -> str:
+    """DuckDB CTE chain (no leading WITH) ending in ``pairs`` — the full
+    shingle -> minhash -> band -> capped-bucket -> candidate-pair pipeline.
+    Shared by the dedup_minhash_lsh oracle and the connected-components
+    oracle so both engines agree on the edge set by construction."""
+    return f"""corpus AS ({corpus_sql}),
     tokh AS (
       SELECT doc_id, list_transform(t, tk -> {_HEXFOLD7_SQL.format(expr='tk')}) AS th
       FROM (SELECT doc_id, {_TOKENS} AS t FROM corpus)
@@ -241,10 +243,19 @@ _MINHASH_SIG_SQL = "[" + ", ".join(
                COUNT(*) OVER (PARTITION BY band_idx, band_val) AS bsz
         FROM bands) t
       WHERE bsz <= {_MAX_BUCKET}
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM capped a JOIN capped b
-      ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_minhash_pair_ctes(_DOCS_MUTATED_SQL)}
+    SELECT doc_a, doc_b FROM pairs
     """,
     survey_ref="J5,J6",
     tags=("dedup",),
@@ -254,7 +265,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join. Scale shape: |docs| x n_bands rows shuffled on band value;
     # no pairwise work outside shared buckets, and hot buckets (> _MAX_BUCKET,
     # the stop-shingle pathology) are explicitly skipped on both engines.
-    corpus = _docs_with_mutated_copies(spark, sf_dir)
+    return _minhash_candidate_pairs(_docs_with_mutated_copies(spark, sf_dir))
+
+
+def _minhash_candidate_pairs(corpus: DataFrame) -> DataFrame:
+    """(doc_a < doc_b) candidate pairs sharing any LSH band bucket."""
     sigs = (
         corpus.withColumn("__t", _tokens_col())
         .withColumn("__th", _token_hashes("__t"))
@@ -296,6 +311,160 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     )
     return pairs.select("p.doc_a", "p.doc_b").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Transitive dup clustering (connected components over the near-dup graph)
+# ---------------------------------------------------------------------------
+
+# Pairwise near-dup detection is only half of web-scale dedup: the pairs
+# form a GRAPH, and the unit a pipeline keeps/drops is its connected
+# component (A~B and B~C must collapse to one cluster even when A~C never
+# shares a bucket). The corpus below makes that transitivity real: two
+# mutation generations, where gen2 drifts far enough from the original
+# that many (orig, gen2) pairs are NOT direct LSH candidates and only the
+# component walk links them through gen1.
+
+
+def _docs_with_chained_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Originals + two chained mutation generations (near-dup chains).
+
+    gen1 (doc_id + 1M) drops every 7th token of the original; gen2
+    (doc_id + 2M) additionally drops every 5th remaining token — similar
+    to gen1, farther from the original.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = _tokens_col()
+    g1 = F.filter(toks, lambda x, i: (i % 7) != 6)
+    g2 = F.filter(g1, lambda x, i: (i % 5) != 4)
+    gen1 = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), F.array_join(g1, " ").alias("text"))
+    gen2 = d.select((F.col("doc_id") + 2_000_000).alias("doc_id"), F.array_join(g2, " ").alias("text"))
+    return d.unionByName(gen1).unionByName(gen2)
+
+
+_DOCS_CHAINED_SQL = f"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(
+               [t[i] for i in range(1, len(t) + 1) if (i % 7) != 0], ' ') AS text
+      FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+             array_to_string(
+               [g1[i] for i in range(1, len(g1) + 1) if (i % 5) != 0], ' ') AS text
+      FROM (SELECT doc_id,
+                   [t[i] for i in range(1, len(t) + 1) if (i % 7) != 0] AS g1
+            FROM (SELECT doc_id, {_TOKENS} AS t FROM documents))
+"""
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
+    """Star edges ``(u, v)`` mapping every non-root node u to its
+    component minimum v, via alternating large-star/small-star (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14).
+
+    Why this and not label propagation: propagation needs O(diameter)
+    rounds — a pathological dup CHAIN (each doc near its neighbor, ends
+    unrelated) makes diameter O(n); the alternating-star algorithm
+    contracts in O(log n) rounds regardless of shape, which is the bound
+    a 100 TB corpus needs. Per round: two groupBy-min shuffles + two
+    distincts, all partial-aggregable; lineage is cut every round with an
+    eager localCheckpoint (cluster equivalent: checkpoint or rely on
+    shuffle files), so plans stay flat instead of doubling per iteration.
+    Convergence is detected with a one-row (count, xxhash64-sum)
+    signature — no edge collect, no driver materialization.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iters):
+        # large-star: every node u links its strictly-larger neighbors to
+        # min(N(u) ∪ {u}); all emitted edges keep target < source.
+        sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.least(F.col("mn"), F.col("u")).alias("v"))
+            .distinct()
+        )
+        # small-star: every node u re-links its (all smaller) neighbors —
+        # and itself — to the smallest of them.
+        mins2 = large.groupBy("u").agg(F.min("v").alias("mn"))
+        j = large.join(mins2, "u")
+        small = (
+            j.where(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .unionByName(j.select("u", F.col("mn").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        row = small.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        sig = (row["c"], row["h"])
+        edges = small
+        if sig == prev_sig:
+            # both passes mapped the edge set to itself -> per-component
+            # stars (the algorithm's only fixed point)
+            return edges
+        prev_sig = sig
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds "
+        "(log2(n) bound exceeded — input edge set is pathological)"
+    )
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_pair_ctes(_DOCS_CHAINED_SQL)},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    walk(node, lbl) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+      UNION
+      SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.node
+    ),
+    lab AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY node)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM lab
+    """,
+    survey_ref="J6,T5",
+    tags=("dedup",),
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Transitive dup clusters: minhash-LSH candidate pairs -> alternating
+    # large-star/small-star connected components -> (doc, cluster, size).
+    # The DuckDB twin computes the same fixpoint by brute transitive
+    # closure (recursive min-label walk) — tractable at oracle scale,
+    # which is exactly why the Spark side uses the O(log n)-round
+    # algorithm instead.
+    pairs = _minhash_candidate_pairs(_docs_with_chained_copies(spark, sf_dir))
+    stars = connected_components(pairs)
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    lab = nodes.join(
+        stars.select(F.col("u").alias("doc_id"), F.col("v").alias("root")),
+        "doc_id",
+        "left",
+    ).select("doc_id", F.coalesce("root", F.col("doc_id")).alias("cluster_id"))
+    w = Window.partitionBy("cluster_id")
+    return lab.select(
+        "doc_id", "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")
+    )
 
 
 _HEXFOLD_SQL = (

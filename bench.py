@@ -94,6 +94,10 @@ TENX_OPS = [
     "text_fingerprint",
     "dedup_embedding_lsh",
     "ann_bruteforce_topk",
+    # iterative: pairs + O(log n)-round component contraction; the tenx
+    # corpus makes components BIGGER (10 near-dup replicas x 3 chained
+    # generations link into one cluster), so this also stresses round count
+    "dedup_cluster_components",
 ]
 
 

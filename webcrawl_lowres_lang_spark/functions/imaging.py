@@ -104,8 +104,10 @@ def png_decode(data: bytes) -> np.ndarray:
 # quantization tables scaled by the IJG quality rule, Annex K "typical"
 # Huffman tables, JFIF APP0 header. The DECODER is driven entirely by the
 # file's own DQT/DHT/SOF0 segments (like any real decoder), so the two
-# halves cannot silently share a transcription error. Out of scope
-# (raises): progressive scans, subsampled chroma, restart markers, 12-bit.
+# halves cannot silently share a transcription error. The decoder also
+# handles chroma subsampling (4:2:0/4:2:2/4:1:1), restart markers, and
+# grayscale scans (round 5). Out of scope (raises, with a PIL fallback in
+# decode_image when importable): progressive scans, 12-bit, arithmetic.
 
 _ZIGZAG = np.array([
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,

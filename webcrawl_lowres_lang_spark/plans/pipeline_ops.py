@@ -1583,6 +1583,104 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic stratified sampling (training-data mixing)
+# ---------------------------------------------------------------------------
+
+# A training mix wants "q documents per language", chosen uniformly and
+# REPRODUCIBLY (same corpus -> same sample, no RNG state): rank every doc
+# inside its stratum by a content-independent uniform hash and keep the
+# first q. md5(CAST(doc_id AS VARCHAR)) is the permutation key because
+# both engines compute it identically (same convention as the token
+# hashes above).
+
+_SAMPLE_HASH_SQL = "md5(CAST(doc_id AS VARCHAR))"
+
+
+def _sample_hash_col() -> F.Column:
+    return F.md5(F.col("doc_id").cast("string"))
+
+
+def balanced_sample(d: DataFrame, strat_col: str = "lang", margin: float = 2.0) -> DataFrame:
+    """Per-stratum quota sample: quota = size of the SMALLEST stratum, so
+    every stratum contributes equally (classic balanced downsampling).
+
+    Scale shape: the naive plan is a window over each full stratum — one
+    reducer sorting 10^9 rows per language at corpus scale. Instead the
+    uniform hash lets us pre-filter: the q smallest of n hashes all lie
+    below ~q/n of the hash space, so a per-stratum cutoff at
+    margin * q/n keeps ~margin * q survivors and the exact window ranks
+    only those. The margin-doubling retry makes the result EXACT (equal
+    to the plain-window answer) regardless of hash luck; at margin 2 and
+    q >= 32 a retry is a <1e-6 tail event. Driver state is one row per
+    stratum (languages — bounded by nature, documented). For q beyond a
+    single task's memory, the same cutoff idea upgrades to distributed
+    selection (per-partition 32-bit hash histograms refined over 2-3
+    treeAggregate passes) — noted here, not needed at sandbox scale.
+    """
+    hash_long = F.conv(F.substring(_sample_hash_col(), 1, 15), 16, 10).cast("long")
+    counts = {
+        r[strat_col]: r["n"]
+        for r in d.groupBy(strat_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    quota = min(counts.values())
+    space = 16**15
+    spark = d.sparkSession
+    while True:
+        cutoffs = spark.createDataFrame(
+            [(s, int(min(margin * quota / n, 1.0) * space)) for s, n in counts.items()],
+            f"{strat_col} string, __cut long",
+        )
+        survivors = (
+            d.withColumn("__h", hash_long)
+            .join(F.broadcast(cutoffs), strat_col)
+            .where(F.col("__h") <= F.col("__cut"))
+            .drop("__cut")
+        )
+        got = {
+            r[strat_col]: r["n"]
+            for r in survivors.groupBy(strat_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        if all(got.get(s, 0) >= min(quota, n) for s, n in counts.items()):
+            break
+        margin *= 4  # hash-luck shortfall: widen and re-filter (exactness guard)
+    w = Window.partitionBy(strat_col).orderBy("__h", "doc_id")
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= F.lit(quota))
+        .drop("__h")
+    )
+
+
+@register(
+    "sample_stratified_balanced",
+    oracle=f"""
+    WITH q AS (
+      SELECT MIN(n) AS quota
+      FROM (SELECT COUNT(*) AS n FROM documents GROUP BY lang)
+    ),
+    ranked AS (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY {_SAMPLE_HASH_SQL}, doc_id
+             ) AS sample_rank
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
+           CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM ranked, q WHERE sample_rank <= quota
+    """,
+    survey_ref="W7,T5",
+    tags=("pipeline",),
+)
+def sample_stratified_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Language-balanced deterministic sample of the documents table. The
+    # DuckDB twin is the plain full-stratum window — the cutoff pre-filter
+    # is invisible in the result by construction (the exactness guard).
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return balanced_sample(d, "lang")
+
+
+# ---------------------------------------------------------------------------
 # Multimodal (binary-column) operators — rows-only driver check; pixel-exact
 # gates live in tests/test_multimodal.py and the crawl parity suite
 # ---------------------------------------------------------------------------

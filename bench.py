@@ -43,16 +43,23 @@ CRAWL_BENCH = dict(
     host_budget=16, rounds=2, validate_pixels=False,
 )
 
-# Skew-stress leg: n_hosts=8 puts ~50% of all URLs on ONE registrable
-# domain (host_for's u^3 Zipf: P(host0) = (1/8)^(1/3) = 0.5) — the
-# pathological frontier the salted two-phase admission exists for
-# (reference analog: the host-skew display, display.py:86-97). host_budget
-# scales up so total fetch capacity stays comparable to the uniform leg;
-# the metric isolates SCHEDULING cost under skew, not politeness-budget
-# semantics.
+# Skew-stress leg: n_hosts=2 puts the MAJORITY of the frontier on ONE
+# registrable domain — the pathological case the salted two-phase
+# admission exists for (reference analog: the host-skew display,
+# display.py:86-97). Config notes: distinct canonical URLs are bounded by
+# n_hosts x n_pages (paths are ``mix % n_pages``), so a small n_hosts
+# needs a larger n_pages or the whole space collapses and the leg
+# under-fetches; seeds (query_count x num_search_pages) and links/page
+# (n_urls / n_pages) are sized so ONE discovery round covers ~5k distinct
+# URLs — comparable volume to CRAWL_BENCH (measured: 4631 fetched,
+# top_domain_share 0.585, vs 5592 uniform). host_budget is scaled so
+# politeness tokens do NOT bind (host0 carries the fixture's
+# crawl_delay=2.0 trap: effective budget = 9000/3 = 3000/round > its
+# ~2.7k admitted); the metric isolates SCHEDULING cost under skew, not
+# politeness-budget semantics.
 CRAWL_SKEW = dict(
-    n_urls=30_000, n_pages=300, n_hosts=8, query_count=24, num_search_pages=4,
-    host_budget=4000, rounds=2, validate_pixels=False,
+    n_urls=90_000, n_pages=3000, n_hosts=2, query_count=64, num_search_pages=8,
+    host_budget=9000, rounds=2, validate_pixels=False,
 )
 
 

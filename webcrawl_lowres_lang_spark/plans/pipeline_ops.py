@@ -1681,6 +1681,110 @@ def sample_stratified_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Repetition filtering (Gopher/C4-style quality signals)
+# ---------------------------------------------------------------------------
+
+# Gopher (Rae et al. 2021, table A1) gates pretraining docs on repetition:
+# duplicate-line/-paragraph fractions and top-/duplicate-n-gram character
+# fractions. The fixture corpus is single-line whitespace text, so the
+# word-level analogues are computed here: duplicate word / bigram / trigram
+# fractions plus the top-bigram mass. Thresholds are calibrated to the
+# synthetic corpus (sf0.01: dup_bigram>=0.05 flags ~22%, top_bigram>=0.10
+# flags ~22%) so the gate splits non-trivially; a production deployment
+# would substitute Gopher's published character-fraction cutoffs.
+#
+# Scale shape: every signal is computed INSIDE the row with higher-order
+# functions (transform/aggregate over the token array) — zero shuffles,
+# zero UDFs, whole-stage codegen end to end. At 100 TB this is a pure
+# map-side pass that AQE never needs to touch; contrast a naive
+# explode+groupBy(doc_id, ngram) plan, which shuffles every n-gram
+# occurrence in the corpus twice.
+
+# max multiplicity of any element in a sorted array: single aggregate pass
+# tracking (prev, current-run, best-run). A multiplicity of 1 is NOT
+# repetition — it would make top_bigram_frac = 2/n for every doc and flag
+# short documents unconditionally — so the finisher zeroes it.
+_TOP_RUN = """
+aggregate(
+  array_sort({arr}),
+  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+  (a, x) -> named_struct(
+     'prev', x,
+     'run',  IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1, 1L),
+     'best', GREATEST(a.best, IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1, 1L))),
+  a -> IF(a.best >= 2L, a.best, 0L))
+""".strip()
+
+
+@register(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKENS} AS t FROM documents
+    ), z AS (
+      SELECT doc_id, t, len(t) AS n,
+             list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS b,
+             list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g
+      FROM base WHERE len(t) >= 3
+    ), top AS (
+      SELECT doc_id,
+             CASE WHEN MAX(c) >= 2 THEN MAX(c) ELSE 0 END AS topc
+      FROM (
+        SELECT doc_id, bg, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(b) AS bg FROM z) GROUP BY doc_id, bg
+      ) GROUP BY doc_id
+    ), sig AS (
+      SELECT z.doc_id,
+             CAST(n AS BIGINT) AS n_tokens,
+             ROUND(1.0 - len(list_distinct(t)) * 1.0 / n, 4) AS dup_word_frac,
+             ROUND(1.0 - len(list_distinct(b)) * 1.0 / len(b), 4) AS dup_bigram_frac,
+             ROUND(1.0 - len(list_distinct(g)) * 1.0 / len(g), 4) AS dup_trigram_frac,
+             ROUND(topc * 2.0 / n, 4) AS top_bigram_frac
+      FROM z JOIN top ON z.doc_id = top.doc_id
+    )
+    SELECT *, (dup_bigram_frac >= 0.05 OR top_bigram_frac >= 0.10) AS repetitive
+    FROM sig
+    """,
+    survey_ref="A10,F6,F7",
+    tags=("text",),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", _tokens_col().alias("t"))
+    d = d.filter(F.size("t") >= 3).withColumn("n", F.size("t"))
+    # word n-grams as expr strings (t[i] is 0-based in Spark SQL)
+    d = d.withColumn(
+        "b",
+        F.expr("transform(sequence(0, n - 2), i -> concat(t[i], ' ', t[i + 1]))"),
+    ).withColumn(
+        "g",
+        F.expr(
+            "transform(sequence(0, n - 3),"
+            " i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2]))"
+        ),
+    )
+    dup = lambda arr: F.round(  # noqa: E731
+        1.0 - F.size(F.array_distinct(arr)) * 1.0 / F.size(arr), 4
+    )
+    sig = d.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        dup("t").alias("dup_word_frac"),
+        dup("b").alias("dup_bigram_frac"),
+        dup("g").alias("dup_trigram_frac"),
+        F.round(F.expr(_TOP_RUN.format(arr="b")) * 2.0 / F.col("n"), 4).alias(
+            "top_bigram_frac"
+        ),
+    )
+    # flag on the ROUNDED values (engine-stable, same convention as
+    # text_langid_confidence's threshold labeling)
+    return sig.withColumn(
+        "repetitive",
+        (F.col("dup_bigram_frac") >= 0.05) | (F.col("top_bigram_frac") >= 0.10),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal (binary-column) operators — rows-only driver check; pixel-exact
 # gates live in tests/test_multimodal.py and the crawl parity suite
 # ---------------------------------------------------------------------------

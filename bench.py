@@ -105,6 +105,10 @@ TENX_OPS = [
     # corpus makes components BIGGER (10 near-dup replicas x 3 chained
     # generations link into one cluster), so this also stresses round count
     "dedup_cluster_components",
+    # round 5: corpus-frequency join-back (boilerplate lines repeat 10x
+    # harder in the replica corpus) and the eval-gram broadcast join
+    "dedup_boilerplate_lines",
+    "bench_contamination",
 ]
 
 

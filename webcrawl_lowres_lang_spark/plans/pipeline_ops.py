@@ -1785,6 +1785,355 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PII scrubbing (training corpora must redact contact data before release)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the Java-regex ∩ RE2 common subset (no lookaround,
+# no backrefs) so the engine and the DuckDB twin compile the SAME regexes.
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"\b555-[0-9]{3}-[0-9]{4}\b"
+_PII_IP = r"\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+# Deterministic PII injection — the driver tables carry no contact data, so
+# the query plants it from doc_id (same convention as _docs_with_*_copies:
+# the fixture is synthesized inside the query, identically in both
+# dialects, so the operator's positive path is actually exercised).
+_PII_DOC_SPARK = """
+concat(text, CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN concat(' reach me at user', CAST(doc_id AS STRING), '@example.com today')
+  WHEN 1 THEN concat(' hotline 555-', lpad(CAST(doc_id % 1000 AS STRING), 3, '0'),
+                     '-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' now')
+  WHEN 2 THEN concat(' server at 10.', CAST(doc_id % 256 AS STRING),
+                     '.0.', CAST((doc_id * 7) % 256 AS STRING), ' up')
+  ELSE '' END)
+""".strip()
+
+_PII_DOC_DUCK = """
+text || (CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com today'
+  WHEN 1 THEN ' hotline 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+            || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+  WHEN 2 THEN ' server at 10.' || CAST(doc_id % 256 AS VARCHAR)
+            || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) || ' up'
+  ELSE '' END)
+""".strip()
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH pii AS (SELECT doc_id, {_PII_DOC_DUCK} AS body FROM documents),
+    counted AS (
+      SELECT doc_id, body,
+             len(regexp_extract_all(body, '{_PII_EMAIL}')) AS n_emails,
+             len(regexp_extract_all(body, '{_PII_PHONE}')) AS n_phones,
+             len(regexp_extract_all(body, '{_PII_IP}')) AS n_ips,
+             regexp_replace(regexp_replace(regexp_replace(body,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IP}', '<IP>', 'g') AS clean
+      FROM pii
+    )
+    SELECT doc_id,
+           CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_phones AS BIGINT) AS n_phones,
+           CAST(n_ips AS BIGINT) AS n_ips,
+           CAST(n_emails + n_phones + n_ips AS BIGINT) AS pii_total,
+           CAST(length(clean) AS BIGINT) AS clean_chars,
+           md5(clean) AS clean_md5
+    FROM counted
+    """,
+    survey_ref="C6,F2,U3",
+    tags=("text", "pipeline"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect-and-redact PII (emails / phones / IPs) with counts per doc.
+
+    Whole-stage-codegen path: three JVM regexp_count + a chained
+    regexp_replace — one narrow map stage, no shuffle, no Python. The
+    redaction order (email → phone → IP) is fixed and identical in the
+    oracle so overlapping matches can never diverge. Output carries
+    md5(clean) rather than the scrubbed body: the correctness gate hashes
+    the full redacted text without shipping it, the exact shape a 100 TB
+    scrub audit wants (counts + content digest per shard).
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", F.expr(_PII_DOC_SPARK).alias("body"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("body"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    d = d.select(
+        "doc_id",
+        F.regexp_count("body", F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count("body", F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count("body", F.lit(_PII_IP)).cast("long").alias("n_ips"),
+        clean.alias("clean"),
+    )
+    return d.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ips",
+        (F.col("n_emails") + F.col("n_phones") + F.col("n_ips")).alias("pii_total"),
+        F.length("clean").cast("long").alias("clean_chars"),
+        F.md5("clean").alias("clean_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document line dedup (CCNet-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+_FOOTER_A = "subscribe to our newsletter all rights reserved"
+_FOOTER_B = "privacy policy terms of service contact us"
+_BOILER_MIN_DOCS = 3
+
+
+@register(
+    "dedup_boilerplate_lines",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             [text]
+               || (CASE WHEN doc_id % 3 = 0 THEN ['{_FOOTER_A}'] ELSE CAST([] AS VARCHAR[]) END)
+               || (CASE WHEN doc_id % 5 = 0 THEN ['{_FOOTER_B}'] ELSE CAST([] AS VARCHAR[]) END)
+               AS lines
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(lines) + 1),
+                                   i -> {{'pos': i, 'line': lines[i]}})) AS pl
+      FROM docs
+    ),
+    lines AS (SELECT doc_id, pl.pos AS pos, pl.line AS line FROM ex),
+    freq AS (
+      SELECT line, COUNT(*) AS nd
+      FROM (SELECT DISTINCT doc_id, line FROM lines) GROUP BY line
+    ),
+    flagged AS (
+      SELECT l.doc_id, l.pos, l.line, f.nd >= {_BOILER_MIN_DOCS} AS boiler
+      FROM lines l JOIN freq f ON l.line = f.line
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+           CAST(COALESCE(SUM(CASE WHEN boiler THEN 0 ELSE length(line) END), 0) AS BIGINT)
+             AS kept_chars,
+           md5(COALESCE(string_agg(CASE WHEN boiler THEN NULL ELSE line END, ' '
+                                   ORDER BY pos), '')) AS kept_md5
+    FROM flagged GROUP BY doc_id
+    """,
+    survey_ref="A3,J6,C7",
+    tags=("dedup", "pipeline"),
+)
+def dedup_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line-frequency dedup: drop lines appearing in >=3
+    distinct docs (nav/footer boilerplate), keep the rest in order.
+
+    The driver docs are single-line, so the query plants shared footer
+    lines deterministically from doc_id (same in-query fixture convention
+    as _docs_with_*_copies). Plan shape built for 100 TB: line frequency
+    is a distinct-first two-stage count keyed on xxhash64(line) — the
+    repeated boilerplate strings shuffle as 8-byte keys, never as text —
+    then one equi-join back and an ordered per-doc reassembly. The oracle
+    joins on the raw line (DuckDB has no xxhash64); at corpus scale a
+    64-bit collision can only over-flag one line pair, the standard
+    accepted trade (CCNet hashes paragraphs the same way).
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.array(F.col("text")),
+            F.when(F.col("doc_id") % 3 == 0, F.array(F.lit(_FOOTER_A))).otherwise(
+                F.array().cast("array<string>")
+            ),
+            F.when(F.col("doc_id") % 5 == 0, F.array(F.lit(_FOOTER_B))).otherwise(
+                F.array().cast("array<string>")
+            ),
+        ).alias("lines"),
+    )
+    ex = d.select("doc_id", F.posexplode("lines").alias("pos", "line")).withColumn(
+        "lh", F.xxhash64("line")
+    )
+    freq = (
+        ex.select("lh", "doc_id")
+        .distinct()
+        .groupBy("lh")
+        .agg(F.count("*").alias("nd"))
+    )
+    flagged = ex.join(freq, "lh").withColumn("boiler", F.col("nd") >= _BOILER_MIN_DOCS)
+    kept_struct = F.when(~F.col("boiler"), F.struct("pos", "line"))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("boiler").cast("long")).alias("n_boilerplate"),
+            F.coalesce(
+                F.sum(F.when(~F.col("boiler"), F.length("line")).otherwise(F.lit(0))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("kept_chars"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+                    ),
+                    " ",
+                )
+            ).alias("kept_md5"),
+        )
+        .select("doc_id", "n_lines", "n_boilerplate", "kept_chars", "kept_md5")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap vs a held-out eval set)
+# ---------------------------------------------------------------------------
+
+_CONTAM_N = 6  # gram width; GPT-3 used 13-grams, scaled down to the fixture docs
+
+
+@register(
+    "bench_contamination",
+    oracle=f"""
+    WITH corpus AS ({_DOCS_EXACT_SQL}),
+    toks AS (
+      SELECT doc_id, {_TOKENS} AS t FROM corpus
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - {_CONTAM_N - 1}, 0) + 1),
+               i -> array_to_string(t[i:i+{_CONTAM_N - 1}], ' '))) AS gs
+      FROM toks
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(gs) AS g FROM grams
+      WHERE doc_id % 97 = 0 AND doc_id < 1000000
+    ),
+    train AS (
+      SELECT doc_id, gs FROM grams
+      WHERE NOT (doc_id % 97 = 0 AND doc_id < 1000000)
+    ),
+    hits AS (
+      SELECT t.doc_id, COUNT(*) AS n_hit
+      FROM (SELECT doc_id, unnest(gs) AS g FROM train) t
+      JOIN bench b ON t.g = b.g
+      GROUP BY t.doc_id
+    )
+    SELECT train.doc_id,
+           CAST(len(gs) AS BIGINT) AS n_grams,
+           CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+           ROUND(COALESCE(n_hit, 0) * 1.0 / greatest(len(gs), 1), 4)
+             AS contamination_ratio,
+           COALESCE(n_hit, 0) > 0 AS contaminated
+    FROM train LEFT JOIN hits ON train.doc_id = hits.doc_id
+    """,
+    survey_ref="J5,J7,A14",
+    tags=("dedup", "pipeline"),
+)
+def bench_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-vs-benchmark n-gram decontamination (the GPT-3 appendix-C
+    check): flag training docs sharing any 6-gram with a held-out eval set.
+
+    Eval set = every 97th base doc; training corpus = everything else plus
+    the exact-copy mutants (doc_id + 1e6), so copies of eval docs are
+    GUARANTEED contaminated and the positive path is exercised. Plan shape
+    for 100 TB: the eval gram set is tiny by construction (eval suites are
+    thousands of docs, not billions) and broadcast — the corpus side is one
+    explode + broadcast-hash-join + partial-agg count, no shuffle of the
+    gram table. Distinct-gram set semantics on both sides (a gram repeated
+    inside a doc counts once).
+    """
+    corpus = _docs_with_exact_copies(spark, sf_dir)
+    is_bench = (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 1_000_000)
+    toks = corpus.select("doc_id", is_bench.alias("bench"), _tokens_col().alias("t"))
+    grams = toks.select(
+        "doc_id",
+        "bench",
+        F.array_distinct(
+            # guarded: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty
+            F.expr(
+                f"CASE WHEN size(t) >= {_CONTAM_N} THEN"
+                f" transform(sequence(1, size(t) - {_CONTAM_N - 1}),"
+                f" i -> array_join(slice(t, i, {_CONTAM_N}), ' '))"
+                f" ELSE CAST(array() AS array<string>) END"
+            )
+        ).alias("gs"),
+    )
+    bench = (
+        grams.filter("bench").select(F.explode("gs").alias("g")).distinct()
+    )
+    train = grams.filter(~F.col("bench"))
+    hits = (
+        train.select("doc_id", F.explode("gs").alias("g"))
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        train.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("gs").cast("long").alias("n_grams"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) * 1.0 / F.greatest(F.size("gs"), F.lit(1)),
+                4,
+            ).alias("contamination_ratio"),
+            (F.coalesce("n_hit", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus length-distribution report (mixing/mix-audit percentiles)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_length_percentiles",
+    oracle=f"""
+    WITH toks AS (SELECT lang, len({_TOKENS}) AS n FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(quantile_cont(n, 0.5), 4) AS p50_tokens,
+           ROUND(quantile_cont(n, 0.9), 4) AS p90_tokens,
+           ROUND(quantile_cont(n, 0.99), 4) AS p99_tokens,
+           CAST(MAX(n) AS BIGINT) AS max_tokens
+    FROM toks GROUP BY lang
+    """,
+    survey_ref="A5,A9,A16",
+    tags=("text", "pipeline"),
+)
+def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-length percentiles (exact linear-interpolation
+    percentile on both engines — Spark `percentile`, DuckDB `quantile_cont`
+    share the definition, so the oracle matches to float tolerance).
+
+    Exact percentile sorts per group, which is fine for a bounded lang
+    cardinality; at 100 TB swap `percentile` for `percentile_approx`
+    (t-digest sketch, partial-aggregable) and widen the oracle tolerance —
+    noted here rather than silently approximating under a hash-exact gate.
+    """
+    d = load(spark, sf_dir, "documents").select("lang", F.size(_tokens_col()).alias("n"))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.expr("percentile(n, 0.5)"), 4).alias("p50_tokens"),
+        F.round(F.expr("percentile(n, 0.9)"), 4).alias("p90_tokens"),
+        F.round(F.expr("percentile(n, 0.99)"), 4).alias("p99_tokens"),
+        F.max("n").cast("long").alias("max_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal (binary-column) operators — rows-only driver check; pixel-exact
 # gates live in tests/test_multimodal.py and the crawl parity suite
 # ---------------------------------------------------------------------------

@@ -2055,37 +2055,58 @@ def bench_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _docs_with_exact_copies(spark, sf_dir)
     is_bench = (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 1_000_000)
     toks = corpus.select("doc_id", is_bench.alias("bench"), _tokens_col().alias("t"))
-    grams = toks.select(
-        "doc_id",
-        "bench",
-        F.array_distinct(
-            # guarded: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty
-            F.expr(
-                f"CASE WHEN size(t) >= {_CONTAM_N} THEN"
-                f" transform(sequence(1, size(t) - {_CONTAM_N - 1}),"
-                f" i -> array_join(slice(t, i, {_CONTAM_N}), ' '))"
-                f" ELSE CAST(array() AS array<string>) END"
-            )
-        ).alias("gs"),
+    # The gram builder is the child of an EXPLODE below, so it must stay
+    # CASE-free: Generate's codegen re-evaluates a conditional generator
+    # child once PER EMITTED ROW — O(grams^2) string work per doc, a
+    # measured 25x whole-query regression (43s -> 1.7s at sf0.1). The
+    # short-doc guard is a pre-filter instead (size >= N also makes the
+    # sequence() bound safe: Spark's sequence(1, 0) is DESCENDING [1, 0],
+    # not empty). Same pitfall note as dedup_ngram_jaccard's docstring.
+    gram_expr = F.expr(
+        f"transform(sequence(1, size(t) - {_CONTAM_N - 1}),"
+        f" i -> array_join(slice(t, i, {_CONTAM_N}), ' '))"
     )
-    bench = (
-        grams.filter("bench").select(F.explode("gs").alias("g")).distinct()
+    gset = (
+        toks.filter(F.size("t") >= _CONTAM_N)
+        .select("doc_id", "bench", F.array_distinct(gram_expr).alias("gs"))
     )
-    train = grams.filter(~F.col("bench"))
+    # Materialize the gram arrays: InferFiltersFromGenerate synthesizes
+    # size(gs)>0 / isnotnull(gs) predicates under each explode and predicate
+    # pushdown inlines the WHOLE tokenize+gram chain into the scan filter —
+    # re-evaluated several times per row on both explode branches (measured
+    # 47s -> ~4s at sf0.1). The cache is one slim array row per doc and is
+    # released via release_persisted(), same contract as _langid_scored.
+    # persist() defaults to MEMORY_AND_DISK (spill-safe); at true 100 TB
+    # scale the same barrier is a temp-table write (gram arrays are
+    # O(corpus tokens) — bigger than any executor tier), which equally
+    # stops the inferred-predicate pushdown.
+    gset = gset.persist()
+    _PERSISTED.append(gset)
+    bench = gset.filter("bench").select(F.explode("gs").alias("g")).distinct()
     hits = (
-        train.select("doc_id", F.explode("gs").alias("g"))
+        gset.filter(~F.col("bench"))
+        .select("doc_id", F.explode("gs").alias("g"))
         .join(F.broadcast(bench), "g")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hit"))
+    )
+    # per-doc distinct-gram counts, zero for sub-N-token docs (n_grams is a
+    # plain projection, not a generator child, so the CASE is fine here)
+    train = toks.filter(~F.col("bench")).select(
+        "doc_id",
+        F.when(F.size("t") >= _CONTAM_N, F.size(F.array_distinct(gram_expr)))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_grams"),
     )
     return (
         train.join(hits, "doc_id", "left")
         .select(
             "doc_id",
-            F.size("gs").cast("long").alias("n_grams"),
+            "n_grams",
             F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
             F.round(
-                F.coalesce("n_hit", F.lit(0)) * 1.0 / F.greatest(F.size("gs"), F.lit(1)),
+                F.coalesce("n_hit", F.lit(0)) * 1.0 / F.greatest("n_grams", F.lit(1)),
                 4,
             ).alias("contamination_ratio"),
             (F.coalesce("n_hit", F.lit(0)) > 0).alias("contaminated"),

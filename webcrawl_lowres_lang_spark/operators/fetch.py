@@ -129,7 +129,18 @@ def fetch_and_validate(
         .distinct()
     )
     needed = fetched_ids.join(pages, "image_id")  # bytes cross Arrow once/image
-    decoded = decode_validate_images(needed, seed, validate_pixels)
+    # Pin the decode stage's width with an EXPLICIT partition count: AQE
+    # coalesces post-shuffle partitions by BYTE size, and thumbnail blobs
+    # are tiny — a whole round's distinct images (~30 MB) fits one 64 MB
+    # advisory partition, serializing ~13 ms/image of CPU-bound JFIF
+    # entropy decode into a single task (measured: a 45 s one-task stage
+    # and a 3x round-time swing on the skew bench leg, depending on which
+    # action materialized the cache first). An explicit numPartitions is
+    # exempt from AQE coalescing; the extra shuffle moves only the small
+    # blobs. Same rule a 1000-executor crawl needs: decode width follows
+    # CPU cost, not byte size.
+    n_dec = needed.sparkSession.sparkContext.defaultParallelism
+    decoded = decode_validate_images(needed.repartition(n_dec, "image_id"), seed, validate_pixels)
 
     ok = F.col("status") == 200
     result = joined.join(decoded, "image_id", "left").select(

@@ -66,3 +66,77 @@ def test_sample_is_hash_prefix_of_stratum(spark):
         want = {doc for _, doc in sorted(pairs)[:quota]}
         got = {r["doc_id"] for r in out.where(F.col("lang") == lang).collect()}
         assert got == want, lang
+
+
+# ---------------------------------------------------------------------------
+# Temperature resampling (sample_temperature_lang)
+# ---------------------------------------------------------------------------
+
+
+def _python_temperature_twin(sf_dir: str, alpha: float = 0.3):
+    """Third implementation (python math/hashlib over raw parquet) of the
+    alpha-sampling selection, independent of both SQL dialects."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"SELECT doc_id, lang FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    finally:
+        con.close()
+    counts: dict[str, int] = {}
+    for _, lang in rows:
+        counts[lang] = counts.get(lang, 0) + 1
+    nn = sum(counts.values())
+    w = {lg: math.pow(n / nn, alpha) for lg, n in counts.items()}
+    sw = sum(w.values())
+    cutoff = {}
+    epochs = {}
+    for lg, n in counts.items():
+        raw = ((w[lg] / sw) * nn) / n
+        cutoff[lg] = int(math.floor(round(min(1.0, raw), 9) * float(16**15)))
+        epochs[lg] = max(1.0, raw)
+    selected = set()
+    for doc_id, lang in rows:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        if h < cutoff[lang]:
+            selected.add(doc_id)
+    return selected, counts, epochs
+
+
+def test_temperature_sampling_matches_python_twin(spark):
+    from webcrawl_lowres_lang_spark.plans import pipeline_ops  # noqa: F401
+    from webcrawl_lowres_lang_spark.plans.registry import REGISTRY
+
+    out = REGISTRY["sample_temperature_lang"].fn(spark, SF_DIR).collect()
+    selected, counts, epochs = _python_temperature_twin(SF_DIR)
+    assert {r["doc_id"] for r in out} == selected
+    for r in out:
+        assert r["lang_docs"] == counts[r["lang"]]
+        assert abs(r["epochs"] - round(epochs[r["lang"]], 4)) < 1e-9
+
+
+def test_temperature_sampling_upweights_tail(spark):
+    # the defining property: after alpha-sampling, rare languages keep ALL
+    # their docs (rate 1, epochs >= 1) while the head language is
+    # downsampled (rate < 1, epochs == 1).
+    from webcrawl_lowres_lang_spark.plans import pipeline_ops  # noqa: F401
+    from webcrawl_lowres_lang_spark.plans.registry import REGISTRY
+    from webcrawl_lowres_lang_spark.plans.registry import load
+
+    d = load(spark, SF_DIR, "documents")
+    orig = {r["lang"]: r["count"] for r in d.groupBy("lang").count().collect()}
+    head = max(orig, key=lambda lg: orig[lg])
+    tail = min(orig, key=lambda lg: orig[lg])
+    out = REGISTRY["sample_temperature_lang"].fn(spark, SF_DIR)
+    got = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    rates = {
+        r["lang"]: (r["sample_rate"], r["epochs"])
+        for r in out.select("lang", "sample_rate", "epochs").distinct().collect()
+    }
+    assert got[tail] == orig[tail] and rates[tail][0] == 1.0 and rates[tail][1] > 1.0
+    assert got[head] < orig[head] and rates[head][0] < 1.0 and rates[head][1] == 1.0

@@ -2303,3 +2303,106 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1) + F.sum("new_sess")).cast("long").alias("n_sessions"),
         F.count("*").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based language resampling (training-data mixing)
+# ---------------------------------------------------------------------------
+
+# XLM-R / mC4 alpha-sampling (Conneau et al. 2020 §3.1; Xue et al. 2021
+# §3.2): draw languages with p_l ∝ (n_l/N)^alpha so low-resource languages
+# are upweighted relative to their corpus share — THE mixing step of a
+# low-resource-language crawl (the reference's whole reason to exist is
+# gathering the rare-language tail; this op is how that tail survives into
+# a training mix). alpha = 0.3 is XLM-R's published value.
+_TEMP_ALPHA = 0.3
+# 16^15 = 2^60: the md5-prefix hash space (15 hex chars fits a signed long)
+_HASH_SPACE = float(16**15)
+_SAMPLE_HASH_INT_SQL = (
+    f"CAST(('0x' || substr({_SAMPLE_HASH_SQL}, 1, 15)) AS BIGINT)"
+)
+
+
+def _sample_hash_int_col() -> F.Column:
+    """The same 60-bit integer both engines derive from md5(doc_id):
+    Spark via conv(hex,16,10), DuckDB via CAST('0x'||hex AS BIGINT)."""
+    return F.conv(F.substring(_sample_hash_col(), 1, 15), 16, 10).cast("long")
+
+
+@register(
+    "sample_temperature_lang",
+    oracle=f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    wts AS (
+      SELECT lang, n,
+             SUM(n) OVER () AS nn,
+             POW(n / CAST(SUM(n) OVER () AS DOUBLE), {_TEMP_ALPHA}) AS w
+      FROM counts
+    ),
+    rates AS (
+      SELECT lang, n,
+             ((w / SUM(w) OVER ()) * nn) / n AS raw_rate
+      FROM wts
+    ),
+    cut AS (
+      SELECT lang, n,
+             LEAST(1.0, raw_rate) AS rate,
+             GREATEST(1.0, raw_rate) AS epochs,
+             CAST(FLOOR(ROUND(LEAST(1.0, raw_rate), 9) * {_HASH_SPACE!r}) AS BIGINT)
+               AS cutoff
+      FROM rates
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(c.n AS BIGINT) AS lang_docs,
+           ROUND(c.rate, 6) AS sample_rate,
+           ROUND(c.epochs, 4) AS epochs
+    FROM documents d JOIN cut c USING (lang)
+    WHERE {_SAMPLE_HASH_INT_SQL} < c.cutoff
+    """,
+    survey_ref="A1,J1,T5",
+    tags=("pipeline", "sampling"),
+)
+def sample_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing: keep head-language docs with
+    probability min(1, p_l*N/n_l) where p_l ∝ (n_l/N)^alpha, and report the
+    replication factor (`epochs`) rare languages would train with.
+
+    Scale shape: the language dimension is aggregated once (bounded
+    cardinality — a few hundred languages at any corpus size), rates are
+    derived INSIDE that tiny frame with unpartitioned windows, and the
+    selection itself is a broadcast join + a map-side integer compare
+    against the deterministic md5-prefix hash — no full-corpus shuffle,
+    no driver collect, reproducible and partition-invariant by
+    construction. The cutoff compares INTEGERS (floor(round(rate,9)*2^60))
+    so the engine twin can never diverge on a float boundary.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    wall = Window.partitionBy()
+    cdim = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .withColumn("nn", F.sum("n").over(wall))
+        .withColumn("w", F.pow(F.col("n") / F.col("nn").cast("double"), _TEMP_ALPHA))
+    )
+    cdim = cdim.withColumn(
+        "raw_rate", ((F.col("w") / F.sum("w").over(wall)) * F.col("nn")) / F.col("n")
+    ).select(
+        "lang",
+        "n",
+        F.least(F.lit(1.0), F.col("raw_rate")).alias("rate"),
+        F.greatest(F.lit(1.0), F.col("raw_rate")).alias("epochs"),
+        F.floor(F.round(F.least(F.lit(1.0), F.col("raw_rate")), 9) * F.lit(_HASH_SPACE))
+        .cast("long")
+        .alias("cutoff"),
+    )
+    return (
+        d.join(F.broadcast(cdim), "lang")
+        .where(_sample_hash_int_col() < F.col("cutoff"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n").cast("long").alias("lang_docs"),
+            F.round("rate", 6).alias("sample_rate"),
+            F.round("epochs", 4).alias("epochs"),
+        )
+    )

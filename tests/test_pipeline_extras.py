@@ -135,3 +135,74 @@ def test_length_percentiles_monotone(spark):
     for r in rows:
         assert r["n_docs"] > 0
         assert 0 < r["p50_tokens"] <= r["p90_tokens"] <= r["p99_tokens"] <= r["max_tokens"]
+
+
+def test_duplicate_spans_matches_python_twin(spark):
+    # third implementation: pure-python shingle frequency + interval merge
+    # over the raw parquet, independent of both SQL dialects.
+    import math
+    import re as _re
+
+    from webcrawl_lowres_lang_spark.plans.pipeline_ops import _SPAN_K, _SPAN_TAIL
+
+    def toks(s: str) -> list[str]:
+        return [t for t in _re.sub(r"[^a-z0-9 ]", " ", s.lower()).split(" ") if t]
+
+    docs = {}
+    for doc_id, text in _docs().items():
+        t = toks(text)
+        docs[doc_id] = t
+        half = t[: math.ceil(len(t) / 2)]
+        docs[doc_id + 1_000_000] = half + [
+            f"t{doc_id}q{j}" for j in range(_SPAN_TAIL)
+        ]
+    # shingle -> set of docs
+    where: dict[tuple, set] = {}
+    for doc_id, t in docs.items():
+        for i in range(len(t) - _SPAN_K + 1):
+            where.setdefault(tuple(t[i : i + _SPAN_K]), set()).add(doc_id)
+    expected = {}
+    for doc_id, t in docs.items():
+        pos = [
+            i
+            for i in range(len(t) - _SPAN_K + 1)
+            if len(where[tuple(t[i : i + _SPAN_K])]) >= 2
+        ]
+        spans = []
+        for p in pos:
+            s, e = p, p + _SPAN_K - 1
+            if spans and s <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], e)
+            else:
+                spans.append([s, e])
+        expected[doc_id] = (
+            len(pos),
+            len(spans),
+            sum(e - s + 1 for s, e in spans),
+            max((e - s + 1 for s, e in spans), default=0),
+        )
+    out = REGISTRY["dedup_duplicate_spans"].fn(spark, SF_DIR).collect()
+    assert len(out) == len(expected)
+    for r in out:
+        want = expected[r["doc_id"]]
+        got = (r["n_dup_grams"], r["n_spans"], r["dup_tokens"], r["longest_span"])
+        assert got == want, (r["doc_id"], got, want)
+
+
+def test_duplicate_spans_plants_long_prefix_span(spark):
+    # the planted construction guarantees: every sufficiently long original
+    # carries a merged span covering (at least) its shared first half.
+    import math
+
+    from pyspark.sql import functions as F
+
+    from webcrawl_lowres_lang_spark.plans.pipeline_ops import _SPAN_K
+
+    out = REGISTRY["dedup_duplicate_spans"].fn(spark, SF_DIR)
+    rows = out.filter(
+        (F.col("doc_id") < 1_000_000) & (F.col("n_toks") >= 4 * _SPAN_K)
+    ).collect()
+    assert rows
+    for r in rows:
+        half = math.ceil(r["n_toks"] / 2)
+        assert r["longest_span"] >= half - _SPAN_K, (r["doc_id"], r["longest_span"], half)

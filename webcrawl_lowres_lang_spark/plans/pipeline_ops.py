@@ -2406,3 +2406,210 @@ def sample_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("epochs", 4).alias("epochs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicate-span detection (ExactSubstr-style dedup)
+# ---------------------------------------------------------------------------
+
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better") deduplicate repeated SUBSTRINGS, not whole documents: a span
+# repeated verbatim across documents is memorized disproportionately. The
+# suffix-array construction is replaced here by the distributed-friendly
+# equivalent: k-token shingles with positions, corpus-frequency on the
+# shingle, then per-doc interval merging of the flagged windows — every
+# stage a DataFrame op. k = 8 is scaled to the fixture docs (the paper
+# uses 50-token spans): measured on sf0.01, 8-gram collisions occur
+# naturally in only ~11% of base docs, so the planted shared-prefix spans
+# dominate the signal instead of vocabulary noise (k = 5 flags 100%).
+_SPAN_K = 8
+
+# Planted positives: each copy shares the FIRST HALF of its original
+# verbatim, then diverges into a unique tail — original and copy carry one
+# long exact common span (the ExactSubstr shape) while tails never match.
+_SPAN_TAIL = 10
+
+
+def _docs_with_prefix_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr(
+            "array_join(concat("
+            " slice(filter(split(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' '),"
+            "       x -> x != ''), 1,"
+            "       cast(ceil(size(filter(split(regexp_replace(lower(text),"
+            "       '[^a-z0-9 ]', ' '), ' '), x -> x != '')) / 2.0) as int)),"
+            f" transform(sequence(0, {_SPAN_TAIL - 1}),"
+            "  j -> concat('t', cast(doc_id as string), 'q', cast(j as string)))"
+            "), ' ')"
+        ).alias("text"),
+    )
+    return d.unionByName(copies)
+
+
+_DOCS_PREFIX_SQL = f"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(
+               t[1:CAST(ceil(len(t) / 2.0) AS INT)]
+               || list_transform(range(0, {_SPAN_TAIL}),
+                    j -> 't' || CAST(doc_id AS VARCHAR) || 'q' || CAST(j AS VARCHAR)),
+               ' ') AS text
+      FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)
+"""
+
+
+@register(
+    "dedup_duplicate_spans",
+    oracle=f"""
+    WITH corpus AS ({_DOCS_PREFIX_SQL}),
+    toks AS (SELECT doc_id, {_TOKENS} AS t FROM corpus),
+    base AS (
+      SELECT doc_id, len(t) AS n_toks,
+             greatest(len(t) - {_SPAN_K - 1}, 0) AS n_grams
+      FROM toks
+    ),
+    pg AS (
+      SELECT doc_id, pg.pos AS pos, pg.g AS g FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - {_SPAN_K - 2}),
+                 i -> {{'pos': i, 'g': array_to_string(t[i:i+{_SPAN_K - 1}], ' ')}})) AS pg
+        FROM toks WHERE len(t) >= {_SPAN_K})
+    ),
+    freq AS (
+      SELECT g FROM (SELECT DISTINCT doc_id, g FROM pg)
+      GROUP BY g HAVING COUNT(*) >= 2
+    ),
+    dup AS (
+      SELECT doc_id, pos, pos AS ss, pos + {_SPAN_K - 1} AS ee
+      FROM pg JOIN freq USING (g)
+    ),
+    marked AS (
+      SELECT doc_id, pos, ss, ee,
+             CASE WHEN MAX(ee) OVER w IS NULL OR ss > MAX(ee) OVER w
+                  THEN 1 ELSE 0 END AS new_island
+      FROM dup
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    islands AS (
+      SELECT doc_id, ss, ee,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS isl
+      FROM marked
+    ),
+    spans AS (
+      SELECT doc_id, isl, MIN(ss) AS s0, MAX(ee) AS e0
+      FROM islands GROUP BY doc_id, isl
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_spans, SUM(e0 - s0 + 1) AS dup_tokens,
+             MAX(e0 - s0 + 1) AS longest_span
+      FROM spans GROUP BY doc_id
+    ),
+    dupg AS (SELECT doc_id, COUNT(*) AS n_dup_grams FROM dup GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(b.n_toks AS BIGINT) AS n_toks,
+           CAST(b.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(dg.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(COALESCE(a.longest_span, 0) AS BIGINT) AS longest_span,
+           ROUND(COALESCE(a.dup_tokens, 0) * 1.0 / greatest(b.n_toks, 1), 4) AS dup_frac
+    FROM base b LEFT JOIN agg a USING (doc_id) LEFT JOIN dupg dg USING (doc_id)
+    """,
+    survey_ref="A3,J5,W5,C7",
+    tags=("dedup", "pipeline"),
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag and measure verbatim spans repeated across documents: k-token
+    windows whose text occurs in >=2 distinct docs, merged into maximal
+    non-overlapping spans per doc (the ExactSubstr semantics, suffix-array
+    replaced by shingle-frequency + interval merge).
+
+    Scale shape: shingle frequency is distinct-first on xxhash64 of the
+    window (8-byte shuffle keys, never window text — the oracle joins on
+    raw text, the standard 64-bit-collision trade documented at
+    dedup_boilerplate_lines); the join back is a plain equi-join (the dup
+    set is corpus-sized, NOT broadcast); interval merging is the classic
+    two-window running-max island pass, partitioned by doc — one shuffle
+    each, all partial-aggregable. The gram array is persisted before the
+    explode for the same InferFiltersFromGenerate reason documented at
+    bench_contamination.
+    """
+    corpus = _docs_with_prefix_copies(spark, sf_dir)
+    toks = corpus.select("doc_id", _tokens_col().alias("t"))
+    base = toks.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_toks"),
+        F.greatest(F.size("t") - (_SPAN_K - 1), F.lit(0)).cast("long").alias("n_grams"),
+    )
+    # CASE-free generator child (pre-filtered), struct carries 1-based pos
+    gram_expr = F.expr(
+        f"transform(sequence(1, size(t) - {_SPAN_K - 1}), i -> "
+        f"struct(i AS pos, xxhash64(array_join(slice(t, i, {_SPAN_K}), ' ')) AS gh))"
+    )
+    gset = toks.filter(F.size("t") >= _SPAN_K).select("doc_id", gram_expr.alias("pgs"))
+    gset = gset.persist()
+    _PERSISTED.append(gset)
+    pg = gset.select("doc_id", F.explode("pgs").alias("g")).select(
+        "doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh")
+    )
+    freq = (
+        pg.select("gh", "doc_id")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    dup = pg.join(freq, "gh").select(
+        "doc_id",
+        "pos",
+        F.col("pos").alias("ss"),
+        (F.col("pos") + (_SPAN_K - 1)).alias("ee"),
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_max = F.max("ee").over(w_prev)
+    marked = dup.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("ss") > prev_max), 1).otherwise(0),
+    )
+    islands = marked.withColumn("isl", F.sum("new_island").over(w_run))
+    spans = islands.groupBy("doc_id", "isl").agg(
+        F.min("ss").alias("s0"), F.max("ee").alias("e0")
+    )
+    agg = spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.col("e0") - F.col("s0") + 1).cast("long").alias("dup_tokens"),
+        F.max(F.col("e0") - F.col("s0") + 1).cast("long").alias("longest_span"),
+    )
+    dupg = dup.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_dup_grams"))
+    return (
+        base.join(agg, "doc_id", "left")
+        .join(dupg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.coalesce("longest_span", F.lit(0)).cast("long").alias("longest_span"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) * 1.0 / F.greatest("n_toks", F.lit(1)),
+                4,
+            ).alias("dup_frac"),
+        )
+    )

@@ -206,3 +206,86 @@ def test_duplicate_spans_plants_long_prefix_span(spark):
     for r in rows:
         half = math.ceil(r["n_toks"] / 2)
         assert r["longest_span"] >= half - _SPAN_K, (r["doc_id"], r["longest_span"], half)
+
+
+def test_perplexity_bucket_matches_python_twin(spark):
+    # third implementation: pure-python trigram LM + order-statistic
+    # tertiles over the raw parquet, independent of both SQL dialects.
+    import hashlib
+    import math
+    import re as _re
+
+    from webcrawl_lowres_lang_spark.plans.pipeline_ops import _PPL_REF_CUT
+
+    def toks(s: str) -> list[str]:
+        return [t for t in _re.sub(r"[^a-z0-9 ]", " ", s.lower()).split(" ") if t]
+
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            f"SELECT doc_id, lang, text FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    finally:
+        con.close()
+    gcounts: dict[int, dict[str, int]] = {}
+    doc_lang = {}
+    for doc_id, lang, text in rows:
+        doc_lang[doc_id] = lang
+        c: dict[str, int] = {}
+        for tok in toks(text):
+            for i in range(len(tok) - 2):
+                g = tok[i : i + 3]
+                c[g] = c.get(g, 0) + 1
+        gcounts[doc_id] = c
+    model: dict[str, dict[str, int]] = {}
+    for doc_id, c in gcounts.items():
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        if h < _PPL_REF_CUT:
+            m = model.setdefault(doc_lang[doc_id], {})
+            for g, dc in c.items():
+                m[g] = m.get(g, 0) + dc
+    stats = {lg: (sum(m.values()), len(m)) for lg, m in model.items()}
+    ppl = {}
+    for doc_id, c in gcounts.items():
+        if not c:
+            continue
+        lg = doc_lang[doc_id]
+        tot, v = stats[lg]
+        m = model[lg]
+        lp = sum(dc * math.log((m.get(g, 0) + 1.0) / (tot + v)) for g, dc in c.items())
+        n = sum(c.values())
+        ppl[doc_id] = (lg, n, round(math.exp(round(-lp / n, 9)), 6))
+    thr = {}
+    for lg in stats:
+        vals = sorted(p for (l2, _, p) in ppl.values() if l2 == lg)
+        nl = len(vals)
+        thr[lg] = (vals[math.ceil(nl / 3) - 1], vals[math.ceil(2 * nl / 3) - 1])
+    out = REGISTRY["text_perplexity_bucket"].fn(spark, SF_DIR).collect()
+    assert len(out) == len(ppl)
+    for r in out:
+        lg, n, p6 = ppl[r["doc_id"]]
+        assert (r["lang"], r["n_grams"]) == (lg, n)
+        assert abs(r["ppl"] - p6) < 1e-9, (r["doc_id"], r["ppl"], p6)
+        t1, t2 = thr[lg]
+        want = "head" if p6 <= t1 else ("middle" if p6 <= t2 else "tail")
+        assert r["bucket"] == want, (r["doc_id"], r["bucket"], want, p6, t1, t2)
+
+
+def test_perplexity_reference_split_scores_lower(spark):
+    # sanity of the CCNet shape: the in-model (reference-split) docs must
+    # have lower mean perplexity than out-of-model docs — the LM has seen
+    # them, so anything else means the split or scoring is wired wrong.
+    from pyspark.sql import functions as F
+
+    from webcrawl_lowres_lang_spark.plans.pipeline_ops import (
+        _PPL_REF_CUT,
+        _sample_hash_int_col,
+    )
+
+    out = REGISTRY["text_perplexity_bucket"].fn(spark, SF_DIR)
+    split = out.withColumn("in_ref", _sample_hash_int_col() < F.lit(_PPL_REF_CUT))
+    means = {
+        r["in_ref"]: r["m"]
+        for r in split.groupBy("in_ref").agg(F.avg("ppl").alias("m")).collect()
+    }
+    assert means[True] < means[False]

@@ -2613,3 +2613,180 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Perplexity-style quality bucketing (CCNet head/middle/tail)
+# ---------------------------------------------------------------------------
+
+# CCNet (Wenzek et al. 2020 §3.3) buckets each language's crawl by the
+# perplexity of a clean-reference language model (KenLM on Wikipedia) and
+# keeps the low-perplexity "head" for training. The stand-in model here is
+# an add-one-smoothed char-trigram LM trained on a deterministic 30%
+# md5-hash split of each language (the role Wikipedia plays in CCNet);
+# docs are scored by mean negative log-likelihood and assigned
+# head/middle/tail by per-language perplexity tertile THRESHOLDS —
+# CCNet's cutoff-percentile design, not a global sort.
+_PPL_REF_CUT = 345876451382054092  # 0.3 * 16^15, exact integer on both engines
+
+
+@register(
+    "text_perplexity_bucket",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, unnest({_TOKENS}) AS tok FROM documents),
+    grams AS (
+      SELECT doc_id, lang, unnest(
+        list_transform(range(1, greatest(len(tok) - 2, 0) + 1),
+                       i -> substr(tok, i, 3))) AS g
+      FROM toks WHERE len(tok) >= 3
+    ),
+    gcounts AS (
+      SELECT doc_id, lang, g, COUNT(*) AS dc FROM grams GROUP BY doc_id, lang, g
+    ),
+    model AS (
+      SELECT lang, g, SUM(dc) AS pc FROM gcounts
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            < {_PPL_REF_CUT}
+      GROUP BY lang, g
+    ),
+    mstats AS (SELECT lang, SUM(pc) AS tot, COUNT(*) AS v FROM model GROUP BY lang),
+    scored AS (
+      SELECT c.doc_id, c.lang, SUM(c.dc) AS n,
+             SUM(c.dc * ln((COALESCE(m.pc, 0) + 1.0) / (s.tot + s.v))) AS lp
+      FROM gcounts c
+      LEFT JOIN model m ON m.lang = c.lang AND m.g = c.g
+      JOIN mstats s ON s.lang = c.lang
+      GROUP BY c.doc_id, c.lang
+    ),
+    ppl AS (SELECT doc_id, lang, n,
+            ROUND(exp(ROUND(-lp / n, 9)), 6) AS p6 FROM scored),
+    ranked AS (
+      SELECT lang, p6, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY p6) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS nl
+      FROM ppl
+    ),
+    thr AS (
+      SELECT lang,
+             MAX(CASE WHEN rn <= CAST(ceil(nl / 3.0) AS BIGINT) THEN p6 END) AS t1,
+             MAX(CASE WHEN rn <= CAST(ceil(2 * nl / 3.0) AS BIGINT) THEN p6 END) AS t2
+      FROM ranked GROUP BY lang
+    )
+    SELECT p.doc_id, p.lang, CAST(p.n AS BIGINT) AS n_grams,
+           p.p6 AS ppl,
+           CASE WHEN p.p6 <= t.t1 THEN 'head'
+                WHEN p.p6 <= t.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ppl p JOIN thr t ON t.lang = p.lang
+    """,
+    survey_ref="U1,A10,A11,F11",
+    tags=("text", "pipeline"),
+)
+def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing: per-language char-trigram LM trained
+    on a clean 30% hash split, every doc scored by perplexity, and assigned
+    head/middle/tail by per-language tertile thresholds.
+
+    Scale shape: the LM is a bounded table (languages x observed trigram
+    space) aggregated once and BROADCAST — the same ship-the-model-to-
+    workers shape as CCNet's KenLM binaries; scoring is one broadcast join
+    + partial-aggregable sum per doc, no corpus-sized shuffle. Bucketing
+    goes through per-language tertile THRESHOLDS joined back broadcast
+    (CCNet's cutoff design), computed as exact order statistics of the
+    rounded perplexities here (engine-identical data values); at 100 TB
+    swap the threshold subquery for `percentile_approx` (t-digest,
+    partial-aggregable) — the scoring/assignment plan is unchanged.
+    Perplexities are rounded to 6 decimals on BOTH engines before
+    thresholding so a last-ulp libm divergence cannot flip a bucket. Docs
+    with zero trigrams (all tokens shorter than 3 chars) have no
+    perplexity and are excluded by construction.
+    """
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.explode(_tokens_col()).alias("tok"))
+        .filter(F.length("tok") >= 3)
+    )
+    grams = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(tok) - 2, 0)),"
+                " i -> substr(tok, i, 3))"
+            )
+        ).alias("g"),
+    )
+    # one gram aggregation, cached: feeds the model build AND the scoring
+    # join (same recompute-disease fix as _langid_scored)
+    gcounts = grams.groupBy("doc_id", "lang", "g").agg(F.count("*").alias("dc")).persist()
+    _PERSISTED.append(gcounts)
+    model = (
+        gcounts.filter(_sample_hash_int_col() < F.lit(_PPL_REF_CUT))
+        .groupBy("lang", "g")
+        .agg(F.sum("dc").alias("pc"))
+    )
+    mstats = model.groupBy("lang").agg(
+        F.sum("pc").alias("tot"), F.count("*").alias("v")
+    )
+    scored = (
+        gcounts.join(F.broadcast(model), ["lang", "g"], "left")
+        .join(F.broadcast(mstats), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("dc").alias("n"),
+            F.sum(
+                F.col("dc")
+                * F.log(
+                    (F.coalesce("pc", F.lit(0)) + 1.0)
+                    / (F.col("tot") + F.col("v"))
+                )
+            ).alias("lp"),
+        )
+    )
+    # snap the mean NLL to 9 decimals BEFORE exp: lp is a float sum whose
+    # engine-order noise (~1e-15) exp would amplify across the 6dp rounding
+    # edge of the perplexity (hit once on sf0.01); after the snap both
+    # engines exponentiate an identical double
+    ppl = scored.select(
+        "doc_id",
+        "lang",
+        "n",
+        F.round(F.exp(F.round(-F.col("lp") / F.col("n"), 9)), 6).alias("p6"),
+    ).persist()
+    _PERSISTED.append(ppl)
+    # order-statistic thresholds, NOT interpolated quantiles: t1 is the
+    # ceil(n/3)-th smallest rounded perplexity — a DATA VALUE, identical in
+    # any engine. Interpolated percentile/quantile_cont diverge structurally
+    # when p*(n-1) lands exactly on an index (fp 1/3 rounds DOWN in Spark,
+    # so the boundary doc interpolates a hair below its own value and flips
+    # buckets; measured on sf0.001 en, n=193).
+    w_rank = Window.partitionBy("lang").orderBy("p6")
+    w_all = Window.partitionBy("lang")
+    ranked = ppl.select(
+        "lang",
+        "p6",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("nl"),
+    )
+    thr = ranked.groupBy("lang").agg(
+        F.max(
+            F.when(F.col("rn") <= F.ceil(F.col("nl") / 3.0).cast("long"), F.col("p6"))
+        ).alias("t1"),
+        F.max(
+            F.when(
+                F.col("rn") <= F.ceil(2 * F.col("nl") / 3.0).cast("long"), F.col("p6")
+            )
+        ).alias("t2"),
+    )
+    return ppl.join(F.broadcast(thr), "lang").select(
+        "doc_id",
+        "lang",
+        F.col("n").cast("long").alias("n_grams"),
+        # p6 verbatim — re-rounding an already-rounded double diverges
+        # between engines (Spark rounds the decimal string repr, DuckDB the
+        # binary value: 75.14365 -> 75.1437 vs 75.1436)
+        F.col("p6").alias("ppl"),
+        F.when(F.col("p6") <= F.col("t1"), F.lit("head"))
+        .when(F.col("p6") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

@@ -2790,3 +2790,144 @@ def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Host-authority PageRank (frontier prioritization)
+# ---------------------------------------------------------------------------
+
+# A crawl frontier schedules better when host budget is informed by link
+# authority (OPIC / PageRank-ordered crawling, Cho et al. 1998; the
+# reference's priority frontier orders by host budget + depth — authority
+# is the standard third signal). Fixed-iteration PageRank with damping
+# 0.85 and explicit dangling-mass redistribution; the host link graph is
+# derived deterministically from doc_id here (in-query fixture convention
+# — at crawl scale the edge list is the extracted-link table).
+_PR_HOSTS = 64
+_PR_DAMP = 0.85
+_PR_ITERS = 4
+
+# both engines derive the same destination host from md5(doc_id || 'e')
+_PR_DST_SQL = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'e'), 1, 15)) AS BIGINT)"
+    f" % {_PR_HOSTS}"
+)
+
+
+def _pagerank_oracle_sql() -> str:
+    h, d, k = _PR_HOSTS, _PR_DAMP, _PR_ITERS
+    ctes = [
+        f"""hosts AS (SELECT unnest(range(0, {h})) AS h),
+    edges AS (
+      SELECT src, dst, COUNT(*) AS w FROM (
+        SELECT doc_id % {h} AS src, {_PR_DST_SQL} AS dst FROM documents
+      ) WHERE src != dst GROUP BY src, dst
+    ),
+    outdeg AS (SELECT src, SUM(w) AS od FROM edges GROUP BY src),
+    ew AS (SELECT e.src, e.dst, e.w * 1.0 / o.od AS frac
+           FROM edges e JOIN outdeg o ON o.src = e.src),
+    r0 AS (SELECT h, 1.0 / {h} AS r FROM hosts)"""
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"""dang{i} AS (
+      SELECT COALESCE(SUM(r.r), 0.0) AS dang FROM r{i - 1} r
+      LEFT JOIN outdeg o ON o.src = r.h WHERE o.src IS NULL
+    ),
+    c{i} AS (
+      SELECT e.dst AS h, SUM(e.frac * r.r) AS contrib
+      FROM ew e JOIN r{i - 1} r ON r.h = e.src GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT hosts.h,
+             {1.0 - d!r} / {h} + {d!r} * (COALESCE(c.contrib, 0.0)
+               + (SELECT dang FROM dang{i}) / {h}) AS r
+      FROM hosts LEFT JOIN c{i} c ON c.h = hosts.h
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT r.h AS host_id,
+           CAST(COALESCE(o.od, 0) AS BIGINT) AS out_edges,
+           ROUND(r.r, 8) AS rank
+    FROM r{k} r LEFT JOIN outdeg o ON o.src = r.h"""
+    )
+
+
+@register(
+    "graph_host_authority",
+    oracle=_pagerank_oracle_sql(),
+    survey_ref="W9,J1,T5",
+    tags=("graph", "pipeline"),
+)
+def graph_host_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the host link graph: the authority
+    score a priority frontier folds into its host-budget ordering.
+
+    Scale shape: the classic Spark PageRank loop — the edge table is
+    normalized ONCE into per-edge contribution fractions and persisted;
+    each iteration is one equi-join ranks-to-edges on src + one partial-
+    aggregable groupBy(dst), with the dangling mass as a 1-row aggregate
+    cross-joined back (a treeAggregate scalar, never a driver collect).
+    On a cluster, ranks and edges are co-partitioned on the host key so
+    the per-iteration join is shuffle-free after the first pass, and long
+    runs checkpoint every ~10 iterations to cut lineage — documented
+    here, unnecessary at K=4. The iteration count is FIXED (not
+    convergence-tested) so the oracle can unroll the identical dataflow.
+    """
+    h, d = _PR_HOSTS, _PR_DAMP
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    dst = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("e"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % h
+    )
+    edges = (
+        docs.select((F.col("doc_id") % h).alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    outdeg = edges.groupBy("src").agg(F.sum("w").alias("od"))
+    ew = (
+        edges.join(outdeg, "src")
+        .select("src", "dst", (F.col("w") * 1.0 / F.col("od")).alias("frac"))
+        .persist()
+    )
+    _PERSISTED.append(ew)
+    hosts = spark.range(h).select(F.col("id").alias("h"))
+    ranks = hosts.select("h", F.lit(1.0 / h).alias("r"))
+    for _ in range(_PR_ITERS):
+        dang = (
+            ranks.join(outdeg, ranks["h"] == outdeg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dang"))
+        )
+        contrib = (
+            ew.join(ranks, ew["src"] == ranks["h"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("frac") * F.col("r")).alias("contrib"))
+        )
+        ranks = (
+            hosts.join(contrib, hosts["h"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "h",
+                (
+                    F.lit((1.0 - d) / h)
+                    + d
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.col("dang") / h)
+                ).alias("r"),
+            )
+        )
+    return ranks.join(outdeg, ranks["h"] == outdeg["src"], "left").select(
+        F.col("h").alias("host_id"),
+        F.coalesce("od", F.lit(0)).cast("long").alias("out_edges"),
+        F.round("r", 8).alias("rank"),
+    )

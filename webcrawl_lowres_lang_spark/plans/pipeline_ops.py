@@ -2551,7 +2551,15 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(1, size(t) - {_SPAN_K - 1}), i -> "
         f"struct(i AS pos, xxhash64(array_join(slice(t, i, {_SPAN_K}), ' ')) AS gh))"
     )
-    gset = toks.filter(F.size("t") >= _SPAN_K).select("doc_id", gram_expr.alias("pgs"))
+    # repartition by doc BEFORE the gram build: the documents scan is a
+    # couple of file splits, and without the exchange the whole shingle
+    # construction + explode would run at read width (measured 2 tasks at
+    # sf0.1) instead of the session's shuffle width
+    gset = (
+        toks.filter(F.size("t") >= _SPAN_K)
+        .repartition(F.col("doc_id"))
+        .select("doc_id", gram_expr.alias("pgs"))
+    )
     gset = gset.persist()
     _PERSISTED.append(gset)
     pg = gset.select("doc_id", F.explode("pgs").alias("g")).select(
@@ -2700,8 +2708,11 @@ def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     with zero trigrams (all tokens shorter than 3 chars) have no
     perplexity and are excluded by construction.
     """
+    # width pin: the token+gram double explode and its partial aggregate
+    # otherwise run at parquet read width (2 file splits at sf0.1)
     toks = (
         load(spark, sf_dir, "documents")
+        .repartition(F.col("doc_id"))
         .select("doc_id", "lang", F.explode(_tokens_col()).alias("tok"))
         .filter(F.length("tok") >= 3)
     )
@@ -2902,23 +2913,39 @@ def graph_host_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     _PERSISTED.append(ew)
+    # hosts carry a STATIC has_out flag so the per-iteration dangling mass
+    # is a plain aggregate over ranks — no join in the loop body
     hosts = spark.range(h).select(F.col("id").alias("h"))
-    ranks = hosts.select("h", F.lit(1.0 / h).alias("r"))
+    hmeta = hosts.join(
+        F.broadcast(outdeg.select(F.col("src").alias("h"), F.lit(True).alias("has_out"))),
+        "h",
+        "left",
+    ).select("h", F.coalesce("has_out", F.lit(False)).alias("has_out"))
+    ranks = hmeta.select("h", "has_out", F.lit(1.0 / h).alias("r"))
+    # rank/degree frames are host-cardinality (bounded, tiny next to the
+    # edge list) — broadcast them so each iteration is ONE map-side join +
+    # one partial-aggregable groupBy over the edges, never a shuffle of
+    # the rank table. At 10^8 hosts the same loop co-partitions ranks
+    # with ew on the host key instead; per-iteration cost here is fixed
+    # scheduling latency (a few tiny broadcast jobs) that amortizes at
+    # real edge volumes.
     for _ in range(_PR_ITERS):
-        dang = (
-            ranks.join(outdeg, ranks["h"] == outdeg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dang"))
+        dang = ranks.agg(
+            F.coalesce(F.sum(F.when(~F.col("has_out"), F.col("r"))), F.lit(0.0)).alias(
+                "dang"
+            )
         )
         contrib = (
-            ew.join(ranks, ew["src"] == ranks["h"])
+            ew.join(F.broadcast(ranks), ew["src"] == ranks["h"])
             .groupBy("dst")
             .agg(F.sum(F.col("frac") * F.col("r")).alias("contrib"))
         )
         ranks = (
-            hosts.join(contrib, hosts["h"] == contrib["dst"], "left")
+            hmeta.join(F.broadcast(contrib), hmeta["h"] == contrib["dst"], "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "h",
+                "has_out",
                 (
                     F.lit((1.0 - d) / h)
                     + d
@@ -2926,7 +2953,12 @@ def graph_host_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r"),
             )
         )
-    return ranks.join(outdeg, ranks["h"] == outdeg["src"], "left").select(
+        # each iteration reads ranks TWICE (dangling mass + contributions);
+        # without a persist the lineage re-expands through every prior
+        # iteration on both branches — exponential recompute in K
+        ranks = ranks.persist()
+        _PERSISTED.append(ranks)
+    return ranks.join(F.broadcast(outdeg), ranks["h"] == outdeg["src"], "left").select(
         F.col("h").alias("host_id"),
         F.coalesce("od", F.lit(0)).cast("long").alias("out_edges"),
         F.round("r", 8).alias("rank"),

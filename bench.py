@@ -109,6 +109,12 @@ TENX_OPS = [
     # harder in the replica corpus) and the eval-gram broadcast join
     "dedup_boilerplate_lines",
     "bench_contamination",
+    # round 5 late adds: the shingle-frequency + interval-merge span pass
+    # (duplicate spans repeat 10x harder across replicas) and the
+    # broadcast-LM perplexity scorer (gram explode is the linear part;
+    # the model table stays bounded by the trigram space)
+    "dedup_duplicate_spans",
+    "text_perplexity_bucket",
 ]
 
 

@@ -2062,9 +2062,16 @@ def bench_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # short-doc guard is a pre-filter instead (size >= N also makes the
     # sequence() bound safe: Spark's sequence(1, 0) is DESCENDING [1, 0],
     # not empty). Same pitfall note as dedup_ngram_jaccard's docstring.
+    # Grams are hashed to xxhash64 LONGS inside the transform, so the
+    # persisted arrays, the broadcast eval set, and the join keys are all
+    # 8 bytes instead of ~40-byte 6-token strings (the oracle joins raw
+    # text — the standard 64-bit-collision trade documented at
+    # dedup_boilerplate_lines). Measured at the 10x corpus: the string-
+    # keyed variant cached multi-GB gram arrays and ran 16.4x the sf0.1
+    # time (superlinear from cache spill); long keys restore ~linear.
     gram_expr = F.expr(
         f"transform(sequence(1, size(t) - {_CONTAM_N - 1}),"
-        f" i -> array_join(slice(t, i, {_CONTAM_N}), ' '))"
+        f" i -> xxhash64(array_join(slice(t, i, {_CONTAM_N}), ' ')))"
     )
     gset = (
         toks.filter(F.size("t") >= _CONTAM_N)

@@ -1074,13 +1074,11 @@ _IVF_TOPK = 10
 # DuckDB helpers over 1-based list indexing
 _IVF_QV_SQL = "list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT))"
 
-
-@register(
-    "ann_ivf_kmeans_topk",
-    oracle=f"""
-    WITH q AS (
-      SELECT vec_id, {_IVF_QV_SQL} AS qv FROM embeddings
-    ),
+# One exact integer Lloyd iteration as a CTE chain. Assumes a preceding
+# CTE ``q(vec_id, qv)`` (quantized corpus); defines ``a2(vec_id, qv,
+# cell)``. Shared verbatim by the IVF oracle and the SemDeDup oracle so
+# the two queries can never drift on quantizer semantics.
+_LLOYD_CTES_SQL = f"""
     seeds AS (SELECT vec_id AS j, qv AS sv FROM q WHERE vec_id < {_IVF_K}),
     -- Lloyd assign #1: exact integer L2 to the seed vectors (c=1)
     a1 AS (
@@ -1124,7 +1122,76 @@ _IVF_QV_SQL = "list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1000) AS BI
                           cent.cell ASC) AS rn
         FROM q CROSS JOIN cent) t
       WHERE rn = 1
+    )"""
+
+
+def _ivf_qv_col():
+    """embedding float array -> exact integer quantized vector."""
+    return F.transform(
+        F.col("embedding"), lambda x: F.floor(x.cast("double") * _IVF_SCALE).cast("long")
+    )
+
+
+def _isum(arr):
+    return F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
+
+
+def _lloyd_assigned(e: DataFrame) -> DataFrame:
+    """One exact integer Lloyd iteration over ``e(vec_id, qv)`` — the Spark
+    twin of _LLOYD_CTES_SQL, shared by the IVF ops and semdedup_embedding.
+    Returns every (vector, cell) candidate with its rank ``rn`` (rn=1 is
+    the assignment; rn<=nprobe serves multi-cell probing)."""
+    seeds = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("j"), F.col("qv").alias("sv")
+    )
+    # assign #1: exact integer L2 against seed vectors
+    d1 = _isum(F.zip_with("qv", "sv", lambda a, b: (a - b) * (a - b)))
+    w_assign = Window.partitionBy("vec_id")
+    a1 = (
+        e.crossJoin(F.broadcast(seeds))
+        .withColumn("__d", d1)
+        .withColumn("rn", F.row_number().over(w_assign.orderBy(F.asc("__d"), F.asc("j"))))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "qv", F.col("j").alias("cell"))
+    )
+    # update: elementwise integer sums + counts per cell
+    csum = (
+        a1.select("cell", F.posexplode("qv").alias("i", "v"))
+        .groupBy("cell", "i")
+        .agg(F.sum("v").cast("long").alias("s"))
+    )
+    sv2 = F.transform(
+        F.array_sort(F.collect_list(F.struct("i", "s"))), lambda x: x["s"]
+    )
+    cnt = a1.groupBy("cell").agg(F.count("*").alias("c"))
+    cent = (
+        csum.groupBy("cell")
+        .agg(sv2.alias("sv"))
+        .join(cnt, "cell")
+        .withColumn("sss", _isum(F.transform("sv", lambda x: x * x)))
+    )
+    # assign #2: integer numerator, one deterministic float division
+    num = (
+        (F.col("c") * F.col("c") * _isum(F.transform("qv", lambda x: x * x))).cast("long")
+        - (F.lit(2) * F.col("c") * _isum(F.zip_with("qv", "sv", lambda a, b: a * b))).cast("long")
+        + F.col("sss")
+    )
+    return (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("__score", num * 1.0 / (F.col("c") * F.col("c")))
+        .withColumn(
+            "rn", F.row_number().over(w_assign.orderBy(F.asc("__score"), F.asc("cell")))
+        )
+    )
+
+
+@register(
+    "ann_ivf_kmeans_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {_IVF_QV_SQL} AS qv FROM embeddings
     ),
+{_LLOYD_CTES_SQL},
     probes AS (SELECT vec_id AS query_id, qv AS pqv, cell FROM a2 WHERE vec_id < 5),
     scored AS (
       SELECT p.query_id, a.vec_id AS neighbor_id,
@@ -1163,56 +1230,8 @@ def _ivf_topk_impl(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFra
     # rows (K ~ sqrt(n) real-world; the corpus never shuffles for it);
     # centroid update is a (cell, dim)-keyed partial aggregation; the probe
     # join touches one cell per query instead of the corpus.
-    qv = F.transform(
-        F.col("embedding"), lambda x: F.floor(x.cast("double") * _IVF_SCALE).cast("long")
-    )
-    e = load(spark, sf_dir, "embeddings").select("vec_id", qv.alias("qv"))
-    seeds = e.filter(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("j"), F.col("qv").alias("sv")
-    )
-
-    def isum(arr):
-        return F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
-
-    # assign #1: exact integer L2 against seed vectors
-    d1 = isum(F.zip_with("qv", "sv", lambda a, b: (a - b) * (a - b)))
-    w_assign = Window.partitionBy("vec_id")
-    a1 = (
-        e.crossJoin(F.broadcast(seeds))
-        .withColumn("__d", d1)
-        .withColumn("rn", F.row_number().over(w_assign.orderBy(F.asc("__d"), F.asc("j"))))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "qv", F.col("j").alias("cell"))
-    )
-    # update: elementwise integer sums + counts per cell
-    csum = (
-        a1.select("cell", F.posexplode("qv").alias("i", "v"))
-        .groupBy("cell", "i")
-        .agg(F.sum("v").cast("long").alias("s"))
-    )
-    sv2 = F.transform(
-        F.array_sort(F.collect_list(F.struct("i", "s"))), lambda x: x["s"]
-    )
-    cnt = a1.groupBy("cell").agg(F.count("*").alias("c"))
-    cent = (
-        csum.groupBy("cell")
-        .agg(sv2.alias("sv"))
-        .join(cnt, "cell")
-        .withColumn("sss", isum(F.transform("sv", lambda x: x * x)))
-    )
-    # assign #2: integer numerator, one deterministic float division
-    num = (
-        (F.col("c") * F.col("c") * isum(F.transform("qv", lambda x: x * x))).cast("long")
-        - (F.lit(2) * F.col("c") * isum(F.zip_with("qv", "sv", lambda a, b: a * b))).cast("long")
-        + F.col("sss")
-    )
-    assigned = (
-        e.crossJoin(F.broadcast(cent))
-        .withColumn("__score", num * 1.0 / (F.col("c") * F.col("c")))
-        .withColumn(
-            "rn", F.row_number().over(w_assign.orderBy(F.asc("__score"), F.asc("cell")))
-        )
-    )
+    e = load(spark, sf_dir, "embeddings").select("vec_id", _ivf_qv_col().alias("qv"))
+    assigned = _lloyd_assigned(e)
     a2 = assigned.filter(F.col("rn") == 1).select("vec_id", "qv", "cell")
     # probe side re-derives from the ranking with vec_id < 5 pushed below
     # the broadcast cross join — 5 x K rows, not a second corpus pass
@@ -1231,7 +1250,7 @@ def _ivf_topk_impl(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFra
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            isum(F.zip_with("pqv", "qv", lambda a, b: a * b)).cast("long").alias("qdot"),
+            _isum(F.zip_with("pqv", "qv", lambda a, b: a * b)).cast("long").alias("qdot"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("neighbor_id"))
@@ -1319,6 +1338,110 @@ def _ivf_recall_impl(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataF
             F.count("__hit").cast("long").alias("n_hits"),
             F.round(F.count("__hit") * 1.0 / _IVF_TOPK, 4).alias("recall_at_10"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup: cluster embeddings, prune near-dups per cluster)
+# ---------------------------------------------------------------------------
+
+# cos >= 0.9  <=>  qdot > 0 AND 100*qdot^2 >= 81*na*nb  (all-integer on the
+# quantized vectors: no sqrt, no float compare, so a last-ulp libm
+# divergence can never flip a keep/drop decision between engines)
+_SEM_T_NUM, _SEM_T_DEN = 81, 100
+
+
+@register(
+    "semdedup_embedding",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {_IVF_QV_SQL} AS qv FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(embedding,
+               x -> CAST(floor((x::DOUBLE + 0.05) * {_IVF_SCALE}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+{_LLOYD_CTES_SQL},
+    norms AS (
+      SELECT vec_id, cell, qv,
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+      FROM a2
+    ),
+    dups AS (
+      SELECT b AS vec_id, MIN(a) AS dup_of
+      FROM (
+        SELECT i.vec_id AS a, j.vec_id AS b,
+               CAST(list_sum(list_transform(range(1, {_IVF_DIM} + 1),
+                             k -> i.qv[k] * j.qv[k])) AS BIGINT) AS qdot,
+               i.n2 AS na, j.n2 AS nb
+        FROM norms i JOIN norms j ON i.cell = j.cell AND i.vec_id < j.vec_id
+      )
+      WHERE qdot > 0 AND {_SEM_T_DEN} * qdot * qdot >= {_SEM_T_NUM} * na * nb
+      GROUP BY b
+    )
+    SELECT n.vec_id, CAST(n.cell AS BIGINT) AS cell, d.dup_of,
+           d.dup_of IS NULL AS kept
+    FROM norms n LEFT JOIN dups d USING (vec_id)
+    """,
+    survey_ref="A12,J6",
+    tags=("dedup", "similarity", "pipeline"),
+)
+def semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023): k-means-cluster the
+    embedding space, then within each cluster drop every vector whose
+    cosine to an earlier (lower-id) cluster member is >= 0.9, keeping the
+    earliest exemplar — the within-cluster-pairwise design of the paper,
+    with the corpus augmented by known +0.05-shifted copies (vec_id +
+    1e6, the same construction dedup_embedding_cosine verifies on).
+
+    Scale shape: clustering is the shared one-iteration integer Lloyd
+    (_lloyd_assigned — broadcast centroids, no corpus shuffle; identical
+    CTE text in the oracle so quantizer semantics cannot drift); the
+    pairwise stage joins each cluster only with itself, so cost is
+    sum(|cell|^2) — bounded by making K grow with corpus size (SemDeDup
+    runs K ~ n/target_cell_size; K is pinned at _IVF_K=8 here only to
+    share the quantizer twin with the ann_ivf oracle, and the dup
+    decision is the all-integer threshold above). dup_of points at the
+    MINIMUM qualifying earlier id (deterministic under any partitioning;
+    a dup's dup_of may itself be a dup — chain semantics documented,
+    exemplars are the kept=true rows)."""
+    base = load(spark, sf_dir, "embeddings")
+    shifted = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor((x.cast("double") + 0.05) * _IVF_SCALE).cast("long"),
+    )
+    q = base.select("vec_id", _ivf_qv_col().alias("qv")).unionByName(
+        base.select((F.col("vec_id") + 1_000_000).alias("vec_id"), shifted.alias("qv"))
+    )
+    a2 = _lloyd_assigned(q).filter(F.col("rn") == 1).select("vec_id", "qv", "cell")
+    norms = a2.withColumn("n2", _isum(F.transform("qv", lambda x: x * x)).cast("long"))
+    i = norms.select(
+        F.col("vec_id").alias("a"), F.col("cell").alias("ca"),
+        F.col("qv").alias("qa"), F.col("n2").alias("na"),
+    )
+    j = norms.select(
+        F.col("vec_id").alias("b"), F.col("cell").alias("cb"),
+        F.col("qv").alias("qb"), F.col("n2").alias("nb"),
+    )
+    qdot = _isum(F.zip_with("qa", "qb", lambda x, y: x * y)).cast("long")
+    dups = (
+        i.join(j, (F.col("ca") == F.col("cb")) & (F.col("a") < F.col("b")))
+        .withColumn("qdot", qdot)
+        .filter(
+            (F.col("qdot") > 0)
+            & (F.lit(_SEM_T_DEN) * F.col("qdot") * F.col("qdot")
+               >= F.lit(_SEM_T_NUM) * F.col("na") * F.col("nb"))
+        )
+        .groupBy("b")
+        .agg(F.min("a").alias("dup_of"))
+        .select(F.col("b").alias("vec_id"), "dup_of")
+    )
+    return norms.join(dups, "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        "dup_of",
+        F.col("dup_of").isNull().alias("kept"),
     )
 
 

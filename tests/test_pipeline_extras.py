@@ -338,3 +338,74 @@ def test_host_authority_matches_python_twin(spark):
         total += row["rank"]
     # probability-mass invariant: ranks stay a distribution at every step
     assert abs(total - 1.0) < 1e-6
+
+
+def test_semdedup_numpy_twin(spark):
+    """Third implementation of semdedup_embedding (numpy over the raw
+    parquet): quantize -> integer Lloyd (seed-assign, elementwise-sum
+    update, reassign) -> within-cell pairwise integer cosine threshold ->
+    earliest exemplar. Guards against a defect shared by both SQL
+    dialects."""
+    import numpy as np
+    import pandas as pd
+
+    from webcrawl_lowres_lang_spark.plans.pipeline_ops import (
+        _IVF_K,
+        _IVF_SCALE,
+        _SEM_T_DEN,
+        _SEM_T_NUM,
+    )
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    v = np.stack([np.asarray(x, dtype=np.float64) for x in emb["embedding"]])
+    ids = emb["vec_id"].to_numpy()
+    q = np.concatenate(
+        [
+            np.floor(v * _IVF_SCALE).astype(np.int64),
+            np.floor((v + 0.05) * _IVF_SCALE).astype(np.int64),
+        ]
+    )
+    vid = np.concatenate([ids, ids + 1_000_000])
+    order = np.argsort(vid)
+    q, vid = q[order], vid[order]
+    seeds = q[vid < _IVF_K]
+    # assign #1: exact integer L2, ties to the lowest seed index
+    d1 = ((q[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2)
+    c1 = d1.argmin(axis=1)  # argmin takes the first (lowest j) on ties
+    # update + assign #2 via the same integer numerator / c^2 score
+    cells = np.unique(c1)
+    S = np.stack([q[c1 == c].sum(axis=0) for c in cells])
+    n = np.array([(c1 == c).sum() for c in cells], dtype=np.int64)
+    sss = (S * S).sum(axis=1)
+    x2 = (q * q).sum(axis=1)
+    num = (
+        n[None, :] ** 2 * x2[:, None]
+        - 2 * n[None, :] * (q @ S.T)
+        + sss[None, :]
+    )
+    score = num / (n[None, :] ** 2).astype(np.float64)
+    c2 = cells[score.argmin(axis=1)]
+    # within-cell pairwise threshold, earliest exemplar
+    n2 = (q * q).sum(axis=1)
+    dup_of: dict[int, int] = {}
+    for c in np.unique(c2):
+        idx = np.where(c2 == c)[0]  # vid-ascending (sorted above)
+        G = q[idx] @ q[idx].T
+        for bi in range(1, len(idx)):
+            for ai in range(bi):
+                qd = int(G[ai, bi])
+                if qd > 0 and _SEM_T_DEN * qd * qd >= _SEM_T_NUM * int(
+                    n2[idx[ai]]
+                ) * int(n2[idx[bi]]):
+                    dup_of[int(vid[idx[bi]])] = int(vid[idx[ai]])
+                    break  # ai ascends, so the first hit is the MIN id
+    from webcrawl_lowres_lang_spark.plans.registry import REGISTRY
+
+    out = {r["vec_id"]: r for r in REGISTRY["semdedup_embedding"].fn(spark, SF_DIR).collect()}
+    assert len(out) == len(vid)
+    cell_of = dict(zip(vid.tolist(), c2.tolist()))
+    for vec_id, row in out.items():
+        assert row["cell"] == cell_of[vec_id], vec_id
+        assert row["dup_of"] == dup_of.get(vec_id), vec_id
+        assert row["kept"] == (vec_id not in dup_of), vec_id
+    assert dup_of, "threshold never fired - test would be vacuous"

@@ -2539,6 +2539,139 @@ def sample_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (target-domain filtering)
+# ---------------------------------------------------------------------------
+
+_DSIR_D = 4096  # hashed feature buckets (paper: 10k hashed uni+bigrams)
+_DSIR_TARGET = "fr"  # target domain = one language's docs (the role Wikipedia
+# plays in the paper's target corpus); everything else is the raw pool
+
+
+@register(
+    "sample_dsir_importance",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, {_TOKENS} AS t FROM documents),
+    grams AS (
+      SELECT doc_id, lang, unnest(t) AS s FROM toks
+      UNION ALL
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS s
+      FROM toks WHERE len(t) >= 2
+    ),
+    fcounts AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {_DSIR_D} AS f,
+             COUNT(*) AS c
+      FROM grams GROUP BY doc_id, lang, f
+    ),
+    raw AS (SELECT f, SUM(c) AS rf FROM fcounts GROUP BY f),
+    tgt AS (SELECT f, SUM(c) AS tf FROM fcounts
+            WHERE lang = '{_DSIR_TARGET}' GROUP BY f),
+    tot AS (SELECT (SELECT SUM(rf) FROM raw) AS R, (SELECT SUM(tf) FROM tgt) AS T),
+    prof AS (
+      SELECT raw.f,
+             ROUND(ln((COALESCE(tgt.tf, 0) + 1.0) / (tot.T + {_DSIR_D}))
+                   - ln((raw.rf + 1.0) / (tot.R + {_DSIR_D})), 9) AS lr
+      FROM raw LEFT JOIN tgt USING (f) CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT fc.doc_id, fc.lang,
+             CAST(SUM(fc.c) AS BIGINT) AS n_feats,
+             ROUND(SUM(fc.c * p.lr) / SUM(fc.c), 6) AS dsir_weight
+      FROM fcounts fc JOIN prof p USING (f)
+      GROUP BY fc.doc_id, fc.lang
+    ),
+    thr AS (SELECT quantile_cont(dsir_weight, 0.75) AS t FROM scored)
+    SELECT doc_id, lang, n_feats, dsir_weight, dsir_weight >= thr.t AS kept
+    FROM scored CROSS JOIN thr
+    """,
+    survey_ref="A10,J1,A14",
+    tags=("sampling", "pipeline"),
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): score every doc by how target-domain-like its
+    hashed n-gram feature distribution is — mean per-occurrence log ratio
+    of add-one-smoothed target vs raw feature probabilities — and keep the
+    top quartile. Target domain here = the _DSIR_TARGET-language docs (the
+    fixture analog of the paper's Wikipedia target corpus).
+
+    Scale shape: features hash into a BOUNDED space (_DSIR_D buckets, the
+    paper's design), so both profiles and the log-ratio table are <= D
+    rows — aggregated once, then BROADCAST; the corpus side is one explode
+    -> per-doc partial-aggregable counts -> broadcast join -> one more
+    partial aggregate. No corpus-sized shuffle except the per-doc groupBy,
+    no global sort: the keep rule is a percentile THRESHOLD (exact order
+    statistic here, `percentile_approx` at 100 TB — the same documented
+    swap as text_length_percentiles) applied as a 1-row broadcast.
+    Engine-stability: the per-feature log ratio is snapped at 9dp (each
+    engine computes identical doubles from identical integers, then
+    rounds), the per-doc mean at 6dp — the perplexity op's recipe. Docs
+    with zero tokens carry no features and are excluded by construction.
+    Feature hash is the shared 60-bit md5 fold (`_tokhash60_spark` /
+    '0x'||substr(md5,1,15)), positive so %-semantics agree cross-engine.
+    """
+    docs = (
+        load(spark, sf_dir, "documents")
+        .repartition(F.col("doc_id"))  # width pin: parquet read is 2 splits
+        .select("doc_id", "lang", _tokens_col().alias("t"))
+    )
+    uni = docs.select("doc_id", "lang", F.explode("t").alias("s"))
+    # CASE-free generator child, pre-filtered (sequence(1,0) descends)
+    bi = docs.filter(F.size("t") >= 2).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("s"),
+    )
+    fcounts = (
+        uni.unionByName(bi)
+        .select("doc_id", "lang", (_tokhash60_spark(F.col("s")) % _DSIR_D).alias("f"))
+        .groupBy("doc_id", "lang", "f")
+        .agg(F.count("*").alias("c"))
+    )
+    raw = fcounts.groupBy("f").agg(F.sum("c").alias("rf"))
+    tgt = (
+        fcounts.filter(F.col("lang") == _DSIR_TARGET)
+        .groupBy("f")
+        .agg(F.sum("c").alias("tf"))
+    )
+    tot = raw.agg(F.sum("rf").alias("R")).crossJoin(tgt.agg(F.sum("tf").alias("T")))
+    prof = (
+        raw.join(tgt, "f", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "f",
+            F.round(
+                F.log((F.coalesce("tf", F.lit(0)) + 1.0) / (F.col("T") + _DSIR_D))
+                - F.log((F.col("rf") + 1.0) / (F.col("R") + _DSIR_D)),
+                9,
+            ).alias("lr"),
+        )
+    )
+    scored = (
+        fcounts.join(F.broadcast(prof), "f")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            F.round(F.sum(F.col("c") * F.col("lr")) / F.sum("c"), 6).alias("dsir_weight"),
+        )
+    )
+    thr = scored.agg(F.percentile("dsir_weight", 0.75).alias("t"))
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "lang",
+        "n_feats",
+        "dsir_weight",
+        (F.col("dsir_weight") >= F.col("t")).alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cross-document duplicate-span detection (ExactSubstr-style dedup)
 # ---------------------------------------------------------------------------
 

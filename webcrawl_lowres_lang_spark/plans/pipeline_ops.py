@@ -51,6 +51,26 @@ def release_persisted() -> None:
 # shared builders
 # ---------------------------------------------------------------------------
 
+
+def _widen(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Width pin for CPU-dense map chains (guide §2.5 input skew / §6).
+
+    Every driver table arrives as ONE parquet row group, so its scan is a
+    single task and everything map-side above it — tokenize, md5/minhash
+    signatures, gram explodes, cosine math — runs on one core no matter
+    how many the session has (measured: the whole minhash signature
+    pipeline at sf0.1 ran 1 task before the band shuffle). A hash
+    repartition on the row key moves only the slim source rows (~100s of
+    KB here) and lets the expensive per-row compute run at the session's
+    shuffle width. The partition count follows spark.sql.shuffle.partitions
+    (no local constant), and at 100 TB — where scans are thousands of
+    splits wide on their own — AQE may coalesce this exchange instead of
+    letting it over-split; identical rule to the width pins
+    dedup_duplicate_spans / text_perplexity_bucket already carry.
+    """
+    return df.repartition(F.col(key))
+
+
 _TOKENS = "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x != '')"
 
 
@@ -63,7 +83,7 @@ def _tokens_col():
 
 
 def _docs_with_exact_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _widen(load(spark, sf_dir, "documents").select("doc_id", "text"))
     copies = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
     return d.unionByName(copies)
 
@@ -77,7 +97,7 @@ _DOCS_EXACT_SQL = """
 
 def _docs_with_mutated_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Original docs + near-duplicate copies (every 7th token dropped)."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _widen(load(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = _tokens_col()
     mutated = d.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
@@ -333,7 +353,7 @@ def _docs_with_chained_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id + 2M) additionally drops every 5th remaining token — similar
     to gen1, farther from the original.
     """
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _widen(load(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = _tokens_col()
     g1 = F.filter(toks, lambda x, i: (i % 7) != 6)
     g2 = F.filter(g1, lambda x, i: (i % 5) != 4)
@@ -449,7 +469,15 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # closure (recursive min-label walk) — tractable at oracle scale,
     # which is exactly why the Spark side uses the O(log n)-round
     # algorithm instead.
-    pairs = _minhash_candidate_pairs(_docs_with_chained_copies(spark, sf_dir))
+    # Persist the candidate pairs: they feed BOTH the component walk and
+    # the node list below. Unpersisted, each consumer re-executed the whole
+    # tokenize -> md5 -> minhash -> band -> pair-explode pipeline from the
+    # parquet scan (two full runs of the most expensive subtree — measured
+    # ~2x the whole query at the 10x corpus). The pair set itself is tiny
+    # (two longs per candidate pair), so the cache barrier costs nothing;
+    # released via release_persisted() like every other builder persist.
+    pairs = _minhash_candidate_pairs(_docs_with_chained_copies(spark, sf_dir)).persist()
+    _PERSISTED.append(pairs)
     stars = connected_components(pairs)
     nodes = (
         pairs.select(F.col("doc_a").alias("doc_id"))
@@ -535,7 +563,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join keys defeat ReusedExchange; measured 2x plan cost at sf0.1),
     # and both 60-bit signatures emerge from the SAME wide groupBy row, so
     # the hamming filter needs no pairing shuffle at all.
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _widen(load(spark, sf_dir, "documents").select("doc_id", "text"))
     tok = d.select("doc_id", F.posexplode(_tokens_col()).alias("pos", "tok"))
     tc = tok.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).alias("cnt_all"),
@@ -694,7 +722,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Embedding near-dup on known candidate pairs (original ↔ shifted copy).
     # The blocked/bucketed general pairing is ann_bucketed_topk below; this
     # verifies the cosine kernel itself (zip_with dot product, JVM-side).
-    base = load(spark, sf_dir, "embeddings").select(
+    base = _widen(load(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     corpus = base.unionByName(
@@ -752,7 +780,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus — the exact baseline every ANN variant is measured against.
     # At scale: corpus stays partitioned, queries broadcast, per-partition
     # top-k then global top-k (TakeOrdered) — no corpus shuffle.
-    e = load(spark, sf_dir, "embeddings").select(
+    e = _widen(load(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     q = e.filter(F.col("vec_id") < 5).select(
@@ -797,7 +825,7 @@ def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # precomputed ``label`` plays the centroid-assignment role). At 100 TB
     # the corpus is hash/bucket-partitioned by cell id, so each query scans
     # one cell instead of the corpus — same plan shape as this query.
-    e = load(spark, sf_dir, "embeddings").select(
+    e = _widen(load(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
     )
     q = e.filter(F.col("vec_id") < 5).select(
@@ -869,6 +897,7 @@ def _emb_plane_sql(row: list[int]) -> str:
 
 def _emb_corpus(base: DataFrame) -> DataFrame:
     """(vec_id, qv): quantized corpus = originals + perturbed twins."""
+    base = _widen(base, "vec_id")
     q = F.transform(
         F.col("embedding"), lambda x: F.floor(x.cast("double") * 1000).cast("long")
     )
@@ -1230,7 +1259,7 @@ def _ivf_topk_impl(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFra
     # rows (K ~ sqrt(n) real-world; the corpus never shuffles for it);
     # centroid update is a (cell, dim)-keyed partial aggregation; the probe
     # join touches one cell per query instead of the corpus.
-    e = load(spark, sf_dir, "embeddings").select("vec_id", _ivf_qv_col().alias("qv"))
+    e = _widen(load(spark, sf_dir, "embeddings"), "vec_id").select("vec_id", _ivf_qv_col().alias("qv"))
     assigned = _lloyd_assigned(e)
     a2 = assigned.filter(F.col("rn") == 1).select("vec_id", "qv", "cell")
     # probe side re-derives from the ranking with vec_id < 5 pushed below
@@ -1312,7 +1341,7 @@ def _ivf_recall_impl(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataF
     qv = F.transform(
         F.col("embedding"), lambda x: F.floor(x.cast("double") * _IVF_SCALE).cast("long")
     )
-    e = load(spark, sf_dir, "embeddings").select("vec_id", qv.alias("qv"))
+    e = _widen(load(spark, sf_dir, "embeddings"), "vec_id").select("vec_id", qv.alias("qv"))
     probes = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("pqv")
     )
@@ -1406,7 +1435,7 @@ def semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     MINIMUM qualifying earlier id (deterministic under any partitioning;
     a dup's dup_of may itself be a dup — chain semantics documented,
     exemplars are the kept=true rows)."""
-    base = load(spark, sf_dir, "embeddings")
+    base = _widen(load(spark, sf_dir, "embeddings"), "vec_id")
     shifted = F.transform(
         F.col("embedding"),
         lambda x: F.floor((x.cast("double") + 0.05) * _IVF_SCALE).cast("long"),
@@ -1464,7 +1493,7 @@ def semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text",),
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select("doc_id", _tokens_col().alias("t"))
+    d = _widen(load(spark, sf_dir, "documents")).select("doc_id", _tokens_col().alias("t"))
     d = d.filter(F.size("t") > 0)
     return d.select(
         "doc_id",
@@ -1498,7 +1527,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Quality heuristics a pretraining pipeline gates on: length, stopword
     # ratio (fluency proxy), type-token ratio (repetition proxy).
     stop = F.array(*[F.lit(s) for s in ["the", "a", "and", "of", "to", "in"]])
-    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars", _tokens_col().alias("t"))
+    d = _widen(load(spark, sf_dir, "documents")).select("doc_id", "n_chars", _tokens_col().alias("t"))
     d = d.filter(F.size("t") > 0)
     ttr = F.size(F.array_distinct("t")) * 1.0 / F.size("t")
     return d.select(
@@ -1566,7 +1595,7 @@ def _langid_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, plang, score) for every doc x language profile — the
     shared trigram-model subtree behind text_langid_ngram (argmax) and
     text_langid_confidence (calibrated threshold labeling)."""
-    toks = load(spark, sf_dir, "documents").select(
+    toks = _widen(load(spark, sf_dir, "documents")).select(
         "doc_id", "lang", F.explode(_tokens_col()).alias("tok")
     ).filter(F.length("tok") >= 3)
     grams = toks.select(
@@ -1586,13 +1615,18 @@ def _langid_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     _PERSISTED.append(gcounts)  # released via release_persisted() (bench legs)
     profile = gcounts.groupBy(F.col("lang").alias("plang"), "g").agg(F.sum("dc").alias("pc"))
     docg = gcounts.select("doc_id", "g", "dc")
+    # the profile is BOUNDED (languages x observed trigram space — ~50k
+    # rows at any corpus size, the same ship-the-model shape as
+    # text_perplexity_bucket's broadcast LM), so broadcast it: the docg
+    # side then never shuffles on g — one corpus-sized exchange
+    # (groupBy(doc_id, plang), partial-aggregable) instead of two
     dots = (
-        docg.join(profile, "g")
+        docg.join(F.broadcast(profile), "g")
         .groupBy("doc_id", "plang")
         .agg(F.sum(F.col("dc") * F.col("pc")).cast("long").alias("dot"))
     )
     pn = profile.groupBy("plang").agg(F.sum(F.col("pc") * F.col("pc")).cast("long").alias("pnorm2"))
-    return dots.join(pn, "plang").withColumn(
+    return dots.join(F.broadcast(pn), "plang").withColumn(
         "score", F.col("dot") * F.col("dot") * 1.0 / F.col("pnorm2")
     )
 
@@ -1690,7 +1724,7 @@ def text_langid_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Order-insensitive document fingerprint (sorted distinct token set ->
     # md5): catches shuffled/reordered copies that exact hashing misses.
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _widen(load(spark, sf_dir, "documents").select("doc_id", "text"))
     shuffled = d.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.array_join(F.array_sort(_tokens_col()), " ").alias("text"),
@@ -1873,7 +1907,7 @@ aggregate(
     tags=("text",),
 )
 def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select("doc_id", _tokens_col().alias("t"))
+    d = _widen(load(spark, sf_dir, "documents")).select("doc_id", _tokens_col().alias("t"))
     d = d.filter(F.size("t") >= 3).withColumn("n", F.size("t"))
     # word n-grams as expr strings (t[i] is 0-based in Spark SQL)
     d = d.withColumn(
@@ -1980,7 +2014,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full redacted text without shipping it, the exact shape a 100 TB
     scrub audit wants (counts + content digest per shard).
     """
-    d = load(spark, sf_dir, "documents").select("doc_id", F.expr(_PII_DOC_SPARK).alias("body"))
+    d = _widen(load(spark, sf_dir, "documents")).select("doc_id", F.expr(_PII_DOC_SPARK).alias("body"))
     clean = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(F.col("body"), _PII_EMAIL, "<EMAIL>"),
@@ -2069,7 +2103,7 @@ def dedup_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-bit collision can only over-flag one line pair, the standard
     accepted trade (CCNet hashes paragraphs the same way).
     """
-    d = load(spark, sf_dir, "documents").select(
+    d = _widen(load(spark, sf_dir, "documents")).select(
         "doc_id",
         F.concat(
             F.array(F.col("text")),
@@ -2274,7 +2308,7 @@ def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (t-digest sketch, partial-aggregable) and widen the oracle tolerance —
     noted here rather than silently approximating under a hash-exact gate.
     """
-    d = load(spark, sf_dir, "documents").select("lang", F.size(_tokens_col()).alias("n"))
+    d = _widen(load(spark, sf_dir, "documents")).select("lang", F.size(_tokens_col()).alias("n"))
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.round(F.expr("percentile(n, 0.5)"), 4).alias("p50_tokens"),
@@ -2694,7 +2728,7 @@ _SPAN_TAIL = 10
 
 
 def _docs_with_prefix_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _widen(load(spark, sf_dir, "documents").select("doc_id", "text"))
     copies = d.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.expr(
@@ -2818,9 +2852,9 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # couple of file splits, and without the exchange the whole shingle
     # construction + explode would run at read width (measured 2 tasks at
     # sf0.1) instead of the session's shuffle width
+    # (width pin now lives in _docs_with_prefix_copies — one exchange)
     gset = (
         toks.filter(F.size("t") >= _SPAN_K)
-        .repartition(F.col("doc_id"))
         .select("doc_id", gram_expr.alias("pgs"))
     )
     gset = gset.persist()

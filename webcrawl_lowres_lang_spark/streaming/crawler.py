@@ -143,6 +143,11 @@ class CrawlEngine:
         # whole-crawl). Rows of blocked domains stay queued, never admitted.
         self.blocked_domains: set[str] = set()
 
+    def _label(self, phase: str) -> None:
+        """Job label for the UI/REST (guide: label your jobs); phase
+        timings in the sandbox are attributed by these descriptions."""
+        self.spark.sparkContext.setJobDescription(f"crawl:{phase}")
+
     # -- discovery plumbing ---------------------------------------------------
 
     def _resolve_discoveries(self, disc: DataFrame) -> DataFrame:
@@ -169,6 +174,7 @@ class CrawlEngine:
         """Round-0 seeds: every (query, page) search slot's result URLs
         (reference: search_and_fetch, lrl-crawler.py:257-319)."""
         c = self.cfg
+        self._label("seed")
         rows = []
         for qid in range(len(self.queries)):
             for page in range(c.num_search_pages):
@@ -209,6 +215,7 @@ class CrawlEngine:
         admission reads it). Skipping the checkpoint silently drops that
         semantics; ``run()`` always interleaves them."""
         c = self.cfg
+        self._label(f"r{self.round}:admission")
         p = with_priority(frontier)
         p = robots_filter(p, self.robots)
         # cache: admitted/deferred/held all branch from p, and each write/
@@ -232,6 +239,7 @@ class CrawlEngine:
             p_active, self.robots, c.host_budget, caches=adm_caches
         )
 
+        self._label(f"r{self.round}:fetch+score")
         scored = fetch_and_validate(admitted, self.links, self.pages, c.seed, c.validate_pixels)
         scored = scored.withColumn(
             "caption_score",
@@ -240,6 +248,7 @@ class CrawlEngine:
         ).cache()  # sequence + offset-counts branch from here; avoid double decode
         # canonical fetch order WITHOUT a single-partition window: range
         # partition on the sort key, per-partition row_number + offsets
+        self._label(f"r{self.round}:sequence")
         seq_caches: list[DataFrame] = []
         ledger = with_global_sequence(
             scored, [F.desc("priority"), F.asc("url_hash")], "fetch_seq",
@@ -262,11 +271,14 @@ class CrawlEngine:
                 threshold_classify(F.col("caption_score"), c.lang, c.cossim_threshold),
             ),
         )
+        self._label(f"r{self.round}:neardup")
         ledger = self._with_near_dup_flags(ledger, seq_caches).cache()
 
+        self._label(f"r{self.round}:discover")
         disc = self._discover_outlinks(ledger)
         resolved = self._resolve_discoveries(disc)
         fresh = self.seen.filter_unseen(resolved).cache()
+        self._label(f"r{self.round}:seen-add")
         self._seen_total += self.seen.add(fresh.select("url_hash"), assume_new=True)
 
         # 429-domain discovery rides the checkpoint write's Observation
@@ -347,6 +359,7 @@ class CrawlEngine:
         # an Observation — zero extra jobs (the round-2 formulation spent
         # one agg job on the written parquet plus a distinct/collect on the
         # cached ledger for the 429 set, ~2 jobs/round of pure scheduling)
+        self._label(f"r{r}:ckpt-ledger")
         obs = Observation(f"ledger_r{r}")
         led_obs = ledger.observe(
             obs,
@@ -361,6 +374,7 @@ class CrawlEngine:
         # T4: domains rate-limited this round are exhausted from now on —
         # updated HERE, before the next round's admission runs
         self.blocked_domains |= set(led_stats["limited"] or [])
+        self._label(f"r{r}:ckpt-frontier")
         overwrite_table(frontier, os.path.join(self.dir, f"frontier/r{r}"))
         # maintain the phash-representative side table: one (order_key,
         # phash) row per phash value first seen this round (order_keys are
@@ -369,6 +383,7 @@ class CrawlEngine:
         # just-written parquet cost a second full-ledger scan per round
         # (the r3 formulation); the prior-reps anti-join side stays a lazy
         # slim parquet scan inside this one append job.
+        self._label(f"r{r}:ckpt-reps")
         new_reps = (
             ledger.filter(F.col("phash").isNotNull())
             .groupBy("phash")

@@ -144,6 +144,10 @@ def crawl_profile() -> None:
         fetched = eng.ledger_df().count()
     print(json.dumps({"secs": round(secs, 2), "fetched": fetched,
                       "urls_per_sec": round(fetched / secs, 2), "hw": hw_mops()}))
+    pw = sorted(getattr(eng, "phase_wall", []), key=lambda x: x[1])
+    for (ph, t), (_, t2) in zip(pw, pw[1:] + [("end", time.monotonic())]):
+        if t2 - t > 0.3:
+            print(json.dumps({"wall_phase": ph, "secs": round(t2 - t, 2)}))
     app_id = spark.sparkContext.applicationId
     jobs = json.load(urllib.request.urlopen(
         f"http://localhost:4455/api/v1/applications/{app_id}/jobs?status=succeeded"))

@@ -17,7 +17,7 @@ identical-phash exact dups are collapsed first. No pairwise O(n²) anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 N_BANDS = 8
@@ -56,27 +56,38 @@ def suppress_near_dups(
         F.col(order_col).alias("__ord"), F.col(phash_col).alias("__ph")
     )
     # collapse exact-equal phashes first: one representative per value
-    # (bounds band-bucket sizes; exact dups inherit the earliest exemplar)
-    exact_w = Window.partitionBy("__ph").orderBy("__ord")
-    exact = keyed.withColumn("__exact_min", F.min("__ord").over(exact_w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    reps = exact.filter(F.col("__ord") == F.col("__exact_min")).select("__ord", "__ph")
+    # (bounds band-bucket sizes; exact dups inherit the earliest exemplar).
+    # groupBy-min, not a window: partial (map-side) aggregation, no sort.
+    reps = keyed.groupBy("__ph").agg(F.min("__ord").alias("__ord"))
 
     banded = reps.select(
         "__ord", "__ph", F.explode(_bands(F.col("__ph"))).alias("b")
     ).select("__ord", "__ph", "b.band_idx", "b.band_val")
 
-    a = banded.select(
-        F.col("band_idx"), F.col("band_val"),
-        F.col("__ord").alias("ord_a"), F.col("__ph").alias("ph_a"),
-    )
-    b = banded.select(
-        F.col("band_idx"), F.col("band_val"),
-        F.col("__ord").alias("ord_b"), F.col("__ph").alias("ph_b"),
+    # Bucket pairing WITHOUT a self-join (same rewrite the minhash LSH
+    # family carries): the a/b join sides each re-derived reps + banding
+    # (alias-divergent branches defeat ReusedExchange) and cost two band
+    # shuffles + a join stage. One groupBy collects each bucket's members
+    # sorted by __ord (unique — order keys are a total sequence), and the
+    # i<j pair expansion happens inside the array, so ord_a < ord_b by
+    # construction. Work per bucket is C(n,2) either way; exact-dup
+    # collapse above keeps buckets bounded exactly as before.
+    grouped = banded.groupBy("band_idx", "band_val").agg(
+        F.array_sort(F.collect_list(F.struct("__ord", "__ph"))).alias("ms")
     )
     pairs = (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("ord_a") < F.col("ord_b"))
-        .select("ord_a", "ph_a", "ord_b", "ph_b")
+        grouped.filter(F.size("ms") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (x, i) -> "
+                    "transform(slice(ms, i + 2, size(ms) - i - 1), "
+                    "y -> struct(x.__ord AS ord_a, x.__ph AS ph_a, "
+                    "y.__ord AS ord_b, y.__ph AS ph_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.ord_a", "p.ph_a", "p.ord_b", "p.ph_b")
         .distinct()
         .filter(F.expr(f"bit_count(ph_a ^ ph_b) <= {max_hamming}"))
     )

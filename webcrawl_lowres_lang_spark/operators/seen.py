@@ -76,6 +76,13 @@ class SeenSet:
         )
         self._bloom: PartitionedBloom | PartitionedCuckoo | None = None
         self._bloom_bc = None
+        # optional phase callback (CrawlEngine wires its _label here) so
+        # driver-side time inside add() is attributable in profiles
+        self._phase_cb = None
+
+    def _phase(self, name: str) -> None:
+        if self._phase_cb is not None:
+            self._phase_cb(name)
 
     def _build_filter_from_df(self, df: DataFrame, depth: int = 2):
         if self.filter_kind == "cuckoo":
@@ -185,7 +192,9 @@ class SeenSet:
             .observe(obs, F.count(F.lit(1)).alias("n"))
             .cache()
         )
+        self._phase("seen:append")
         append_table(out, self.path, partition_by=("bucket",))
+        self._phase("seen:obs")
         try:
             n = int(obs.get["n"])
         except Exception:
@@ -197,10 +206,13 @@ class SeenSet:
             # fallback.
             n = out.count()
         if self._bloom is not None and n:
+            self._phase("seen:delta-build")
             build_parts = max(1, min(self.n_buckets, 1 + n // 250_000))
             delta = self._build_filter_from_df(out.coalesce(build_parts))
+            self._phase("seen:merge")
             self._bloom.merge(delta)
             self._rebroadcast()
+        self._phase("seen:done")
         out.unpersist()
         return n
 

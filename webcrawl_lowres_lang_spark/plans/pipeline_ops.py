@@ -897,16 +897,19 @@ def _emb_plane_sql(row: list[int]) -> str:
 
 def _emb_corpus(base: DataFrame) -> DataFrame:
     """(vec_id, qv): quantized corpus = originals + perturbed twins."""
+    # expr strings (one py4j round trip each) — the lambda-composed form
+    # cost ~0.3s of driver build time per call, twice per query build.
+    # 0.05D: the D suffix keeps the literal a DOUBLE (bare 0.05 parses as
+    # DECIMAL(3,2) in SQL and would change the float math vs the oracle).
     base = _widen(base, "vec_id")
-    q = F.transform(
-        F.col("embedding"), lambda x: F.floor(x.cast("double") * 1000).cast("long")
-    )
-    qs = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor((x.cast("double") + 0.05) * 1000).cast("long"),
-    )
-    return base.select("vec_id", q.alias("qv")).unionByName(
-        base.select((F.col("vec_id") + 1_000_000).alias("vec_id"), qs.alias("qv"))
+    return base.selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv",
+    ).unionByName(
+        base.selectExpr(
+            "vec_id + 1000000L AS vec_id",
+            "transform(embedding, x -> CAST(floor((CAST(x AS DOUBLE) + 0.05D) * 1000) AS BIGINT)) AS qv",
+        )
     )
 
 
@@ -922,40 +925,40 @@ def emb_band_table(base: DataFrame) -> tuple[DataFrame, int]:
     bb = emb_band_bits(2 * base.count())
     corpus = _emb_corpus(base)
 
-    def isum(arr):
-        return F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
+    # Single expr STRINGS, not composed Column lambdas: the Column form
+    # built ~64 F.lit calls per plane x 2*bb planes (~900 py4j round trips
+    # — measured 2-4s of pure driver build time per invocation, dwarfing
+    # the sub-second execution); each selectExpr below is ONE round trip.
+    # Semantics identical (same plane literals, same integer math).
+    def plane_dot_sql(row: list[int]) -> str:
+        arr = ", ".join(str(p) for p in row)
+        return (
+            f"aggregate(zip_with(qv, array({arr}), (a, b) -> a * b), "
+            f"0L, (acc, x) -> acc + x) >= 0"
+        )
 
-    def plane_dot(row):
-        plane = F.array(*[F.lit(p) for p in row])
-        return isum(F.zip_with(F.col("qv"), plane, lambda a, b: a * b))
-
-    sigs = corpus.select(
+    sigs = corpus.selectExpr(
         "vec_id",
         *[
-            (plane_dot(_EMB_PLANES[h]) >= 0).alias(f"b{h}")
+            f"({plane_dot_sql(_EMB_PLANES[h])}) AS b{h}"
             for h in range(_EMB_BANDS * bb)
         ],
     )
 
-    def band_val(b):
+    def band_val_sql(b: int) -> str:
         # absolute bit weights (1 << h) — matches the width-independent
         # DuckDB band expression; equality classes are weight-invariant
-        out = F.lit(0).cast("long")
-        for h in range(b * bb, (b + 1) * bb):
-            out = out + F.when(F.col(f"b{h}"), F.lit(1 << h)).otherwise(F.lit(0))
-        return out
+        return " + ".join(
+            f"IF(b{h}, {1 << h}L, 0L)" for h in range(b * bb, (b + 1) * bb)
+        )
 
+    struct_sql = ", ".join(
+        f"struct({b} AS band_idx, CAST({band_val_sql(b)} AS BIGINT) AS band_val)"
+        for b in range(_EMB_BANDS)
+    )
     bands = sigs.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_idx"), band_val(b).alias("band_val"))
-                    for b in range(_EMB_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vec_id", "bb.band_idx", "bb.band_val")
+        "vec_id", F.expr(f"inline(array({struct_sql}))")
+    )
     return bands, bb
 
 
@@ -1079,10 +1082,15 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verification needs only (qv, n2) — rebuild the CHEAP quantization
     # subtree for each join side rather than dragging the plane-dot bits
     # through; the expensive signature math runs exactly once (in bands)
-    vecs = corpus.select("vec_id", "qv", isum(F.transform("qv", lambda x: x * x)).alias("n2"))
-    sa = vecs.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qva"), F.col("n2").alias("na2"))
-    sb = vecs.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qvb"), F.col("n2").alias("nb2"))
-    dot = isum(F.zip_with("qva", "qvb", lambda x, y: x * y)).cast("long")
+    vecs = corpus.selectExpr(
+        "vec_id", "qv",
+        "aggregate(transform(qv, x -> x * x), 0L, (acc, x) -> acc + x) AS n2",
+    )
+    sa = vecs.selectExpr("vec_id AS vec_a", "qv AS qva", "n2 AS na2")
+    sb = vecs.selectExpr("vec_id AS vec_b", "qv AS qvb", "n2 AS nb2")
+    dot = F.expr(
+        "CAST(aggregate(zip_with(qva, qvb, (x, y) -> x * y), 0L, (acc, x) -> acc + x) AS BIGINT)"
+    )
     return (
         cand.join(sa, "vec_a")
         .join(sb, "vec_b")

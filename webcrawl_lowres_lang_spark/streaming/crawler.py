@@ -134,6 +134,7 @@ class CrawlEngine:
             bloom_config=BloomConfig(capacity=c.bloom_capacity, fpp=0.01, num_shards=16),
             filter_kind=c.seen_filter,
         )
+        self.seen._phase_cb = self._label  # driver-side profile attribution
         self.round = 0
         self.metrics: list[dict] = []
         self._seen_total = 0  # running counter — avoids a store scan per round
@@ -142,10 +143,19 @@ class CrawlEngine:
         # lrl-crawler.py:280-291, generalized per-domain instead of
         # whole-crawl). Rows of blocked domains stay queued, never admitted.
         self.blocked_domains: set[str] = set()
+        self._pending_caches: list[DataFrame] = []
 
     def _label(self, phase: str) -> None:
         """Job label for the UI/REST (guide: label your jobs); phase
-        timings in the sandbox are attributed by these descriptions."""
+        timings in the sandbox are attributed by these descriptions.
+        ``phase_wall`` records the label-switch timestamps so driver-side
+        time BETWEEN jobs is attributable too (REST job spans only cover
+        submitted jobs)."""
+        import time as _time
+
+        if not hasattr(self, "phase_wall"):
+            self.phase_wall: list[tuple[str, float]] = []
+        self.phase_wall.append((phase, _time.monotonic()))
         self.spark.sparkContext.setJobDescription(f"crawl:{phase}")
 
     # -- discovery plumbing ---------------------------------------------------
@@ -181,7 +191,8 @@ class CrawlEngine:
                 for uid in fx.search_result_ids(c.seed, qid, page, c.n_urls):
                     rows.append((uid, 0, 0.0))
         disc = self.spark.createDataFrame(rows, DISCOVERY_SCHEMA)
-        resolved = self._resolve_discoveries(disc)
+        resolved = self._resolve_discoveries(disc).cache()
+        self._pending_caches.append(resolved)  # unpersisted after round 0
         fresh = self.seen.filter_unseen(resolved)
         self._seen_total += self.seen.add(fresh.select("url_hash"), assume_new=True)
         return fresh
@@ -276,8 +287,17 @@ class CrawlEngine:
 
         self._label(f"r{self.round}:discover")
         disc = self._discover_outlinks(ledger)
-        resolved = self._resolve_discoveries(disc)
+        # cache: filter_unseen's bloom split consumes ``resolved`` in TWO
+        # union branches (definitely-unseen + verified), each of which
+        # would re-execute the resolve chain (link join + canonicalize +
+        # dedup window) without the barrier
+        resolved = self._resolve_discoveries(disc).cache()
         fresh = self.seen.filter_unseen(resolved).cache()
+        # synchronous ON PURPOSE: this action materializes the round's
+        # cache spine (ledger -> discoveries -> fresh); deferring it into
+        # the checkpoint pool made all four actions race to build the same
+        # un-materialized caches (measured 44 vs 56 URLs/s) — the writes
+        # parallelize well only once they read warm caches
         self._label(f"r{self.round}:seen-add")
         self._seen_total += self.seen.add(fresh.select("url_hash"), assume_new=True)
 
@@ -288,7 +308,9 @@ class CrawlEngine:
         next_frontier = deferred.select(*fresh.columns).unionByName(fresh)
         if held is not None:
             next_frontier = next_frontier.unionByName(held.select(*fresh.columns))
-        self._round_caches = [p, scored, fresh, *adm_caches, *seq_caches]  # unpersisted after checkpoint
+        self._round_caches = [p, scored, resolved, fresh, *adm_caches, *seq_caches,
+                              *self._pending_caches]  # unpersisted after checkpoint
+        self._pending_caches = []
         return ledger, next_frontier
 
     def _reps_path(self) -> str:
@@ -335,31 +357,66 @@ class CrawlEngine:
         A resumed engine passes ``frontier=resumed_frontier()`` and the
         number of REMAINING rounds."""
         c = self.cfg
-        if frontier is None:
-            self.seen.enable_empty_bloom()
-            frontier = self.seed_frontier()
-        for _ in range(c.rounds if rounds is None else rounds):
-            ledger, frontier = self.run_round(frontier)
-            self._checkpoint(ledger, frontier)
-            # CUT LINEAGE: continue from the materialized snapshot, not the
-            # in-memory plan — otherwise round N re-executes rounds 1..N-1
-            # inside every action (measured 10x+ blowup by round 3). This is
-            # exactly what Iceberg snapshot-per-round gives on a cluster.
-            frontier = read_table(
-                self.spark, os.path.join(self.dir, f"frontier/r{self.round}")
-            )
-            ledger.unpersist()
-            for df in getattr(self, "_round_caches", []):
-                df.unpersist()
-            self.round += 1
+        # SCALE-ADAPTIVE shuffle width for the crawl loop (guide §2):
+        # round frames are bounded by the URL universe (<= ~n_urls slim
+        # fixed-width rows), while the session's shuffle setting is sized
+        # for the analytics tables — at sandbox scale that left every one
+        # of the ~50 stages per round scheduling a full session-width task
+        # wave over a few thousand rows (pure scheduling latency; measured
+        # ~150 jobs per 2-round crawl). Derive the width from the input
+        # size (~4k rows/partition), never ABOVE the session setting (a
+        # 10^9-URL frontier keeps the cluster's own width), and restore
+        # the session value on exit. The decode stage is unaffected: its
+        # width is pinned separately to defaultParallelism because its
+        # cost is per-image CPU, not bytes (operators/fetch.py).
+        conf = self.spark.conf
+        prev_parts = conf.get("spark.sql.shuffle.partitions")
+        target = max(4, -(-c.n_urls // 4000))
+        try:
+            target = min(int(prev_parts), target)
+        except (TypeError, ValueError):
+            pass
+        conf.set("spark.sql.shuffle.partitions", str(target))
+        # Bound AQE's per-update plan strings for the crawl's nested cache
+        # spine (see session.py) — also applied here because the engine
+        # may run inside a FOREIGN session (the driver's correctness
+        # harness builds its own) whose default is unbounded: measured a
+        # 1 GiB-heap OOM inside plan-string rendering without it.
+        prev_plan_len = conf.get("spark.sql.maxPlanStringLength", None)
+        conf.set("spark.sql.maxPlanStringLength", str(256 * 1024))
+        try:
+            if frontier is None:
+                self.seen.enable_empty_bloom()
+                frontier = self.seed_frontier()
+            for _ in range(c.rounds if rounds is None else rounds):
+                ledger, frontier = self.run_round(frontier)
+                self._checkpoint(ledger, frontier)
+                # CUT LINEAGE: continue from the materialized snapshot, not
+                # the in-memory plan — otherwise round N re-executes rounds
+                # 1..N-1 inside every action (measured 10x+ blowup by round
+                # 3). This is exactly what Iceberg snapshot-per-round gives
+                # on a cluster.
+                self._label(f"r{self.round}:reload")
+                frontier = read_table(
+                    self.spark, os.path.join(self.dir, f"frontier/r{self.round}")
+                )
+                self._label(f"r{self.round}:unpersist")
+                ledger.unpersist()
+                for df in getattr(self, "_round_caches", []):
+                    df.unpersist()
+                self.round += 1
+        finally:
+            conf.set("spark.sql.shuffle.partitions", prev_parts)
+            if prev_plan_len is not None:
+                conf.set("spark.sql.maxPlanStringLength", prev_plan_len)
 
     def _checkpoint(self, ledger: DataFrame, frontier: DataFrame) -> None:
         r = self.round
+        self._label(f"r{r}:ckpt-prep")
         # fetch metrics + 429-domain discovery ride the snapshot write as
         # an Observation — zero extra jobs (the round-2 formulation spent
         # one agg job on the written parquet plus a distinct/collect on the
         # cached ledger for the 429 set, ~2 jobs/round of pure scheduling)
-        self._label(f"r{r}:ckpt-ledger")
         obs = Observation(f"ledger_r{r}")
         led_obs = ledger.observe(
             obs,
@@ -367,15 +424,6 @@ class CrawlEngine:
             F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("ok"),
             F.collect_set(F.when(F.col("status") == 429, F.col("domain"))).alias("limited"),
         )
-        # plain subdirs (not round= partition dirs): the round column is
-        # already stored in the files; a partition dir would duplicate it
-        overwrite_table(led_obs, os.path.join(self.dir, f"ledger/r{r}"))
-        led_stats = obs.get
-        # T4: domains rate-limited this round are exhausted from now on —
-        # updated HERE, before the next round's admission runs
-        self.blocked_domains |= set(led_stats["limited"] or [])
-        self._label(f"r{r}:ckpt-frontier")
-        overwrite_table(frontier, os.path.join(self.dir, f"frontier/r{r}"))
         # maintain the phash-representative side table: one (order_key,
         # phash) row per phash value first seen this round (order_keys are
         # monotone in round, so appends never supersede an existing rep).
@@ -383,7 +431,6 @@ class CrawlEngine:
         # just-written parquet cost a second full-ledger scan per round
         # (the r3 formulation); the prior-reps anti-join side stays a lazy
         # slim parquet scan inside this one append job.
-        self._label(f"r{r}:ckpt-reps")
         new_reps = (
             ledger.filter(F.col("phash").isNotNull())
             .groupBy("phash")
@@ -392,11 +439,48 @@ class CrawlEngine:
         if self._reps_exists():
             prior = read_table(self.spark, self._reps_path()).select("phash")
             new_reps = new_reps.join(prior, "phash", "left_anti")
-        append_table(new_reps.select("order_key", "phash"), self._reps_path())
+
+        # The three snapshot writes are INDEPENDENT — disjoint target
+        # paths, all reading frames the round already materialized into
+        # caches (ledger / fresh / admission) — so they overlap in a small
+        # thread pool (guide §2.6: actions are only sequential because the
+        # driver calls them sequentially; FIFO scheduling back-fills one
+        # write's task tail with the next write's tasks). State mutations
+        # (Observation read, blocked_domains fold) happen strictly after
+        # the joins below, so round semantics and the parity ordering
+        # contract are unchanged. Job descriptions are thread-local: each
+        # writer labels its own jobs.
+        # plain subdirs (not round= partition dirs): the round column is
+        # already stored in the files; a partition dir would duplicate it
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write_ledger() -> None:
+            self._label(f"r{r}:ckpt-ledger")
+            overwrite_table(led_obs, os.path.join(self.dir, f"ledger/r{r}"))
+
+        def _write_frontier() -> None:
+            self._label(f"r{r}:ckpt-frontier")
+            overwrite_table(frontier, os.path.join(self.dir, f"frontier/r{r}"))
+
+        def _write_reps() -> None:
+            self._label(f"r{r}:ckpt-reps")
+            append_table(new_reps.select("order_key", "phash"), self._reps_path())
+
+        self._label(f"r{r}:ckpt-writes")
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [pool.submit(fn) for fn in (_write_ledger, _write_frontier, _write_reps)]
+            for fut in futs:
+                fut.result()  # propagate the first failure
+        self._label(f"r{r}:ckpt-obs")
+        led_stats = obs.get
+        # T4: domains rate-limited this round are exhausted from now on —
+        # updated HERE (post-join), before the next round's admission runs
+        self.blocked_domains |= set(led_stats["limited"] or [])
         # per-partition lineage + frontier metrics (north rule) from the
         # WRITTEN snapshot's parquet footers — zero Spark jobs (each file
         # is one writer task's output; row counts come from file metadata,
         # exactly what an Iceberg snapshot's manifest records per file)
+        self._label(f"r{r}:ckpt-meta")
         parts = _parquet_file_rows(os.path.join(self.dir, f"frontier/r{r}"))
         m = {
             "round": r,

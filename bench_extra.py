@@ -176,6 +176,74 @@ def crawl_profile() -> None:
                       "sum_job_secs": round(sum(sum(v) for v in by_phase.values()), 2)}))
 
 
+def qprof() -> None:
+    """Stage-level profile of one query on the 10x corpus (or sf_dir):
+    run with UI on, dump per-stage duration/tasks/shuffle from REST."""
+    import tempfile
+    import urllib.request
+
+    from bench import _build_tenx_corpus
+
+    name = sys.argv[2]
+    use_tenx = len(sys.argv) > 3 and sys.argv[3] == "tenx"
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="qprof", master=f"local[{DEFAULT_CPUS}]",
+                      extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4456"})
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.shuffle.partitions", str(DEFAULT_CPUS))
+    with tempfile.TemporaryDirectory() as td:
+        if use_tenx:
+            _build_tenx_corpus(spark, sf_dir, td)
+            target = td
+        else:
+            target = sf_dir
+        _force(spark, REGISTRY[name].fn(spark, "/root/testdata/sf0.001"))
+        app_id = spark.sparkContext.applicationId
+        base = f"http://localhost:4456/api/v1/applications/{app_id}"
+        n_before = len(json.load(urllib.request.urlopen(f"{base}/stages")))
+        t0 = time.perf_counter()
+        _force(spark, REGISTRY[name].fn(spark, target))
+        print(json.dumps({"op": name, "secs": round(time.perf_counter() - t0, 3),
+                          "hw": hw_mops()}), flush=True)
+        stages = json.load(urllib.request.urlopen(f"{base}/stages?status=complete"))
+        rows = []
+        for st in stages:
+            rows.append((st["stageId"], round(st.get("executorRunTime", 0) / 1000, 1),
+                         st.get("numCompleteTasks"),
+                         round(st.get("shuffleWriteBytes", 0) / 1e6, 1),
+                         round(st.get("shuffleReadBytes", 0) / 1e6, 1),
+                         (st.get("description") or st.get("name", ""))[:60]))
+        rows.sort()
+        for r in rows:
+            if r[0] >= 0 and r[1] > 0.3:
+                print(json.dumps({"stage": r[0], "exec_run_s": r[1], "tasks": r[2],
+                                  "shufW_MB": r[3], "shufR_MB": r[4], "name": r[5]}))
+
+
+def tenx() -> None:
+    """Replicate bench.py's tenx leg: build the 10x replica corpus, run
+    the TENX ops warmed, print per-op timings + hw samples."""
+    import tempfile
+
+    from bench import TENX_OPS, _build_tenx_corpus
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench_extra_tenx", master=f"local[{DEFAULT_CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.shuffle.partitions", str(DEFAULT_CPUS))
+    with tempfile.TemporaryDirectory() as tenx_dir:
+        t0 = time.perf_counter()
+        _build_tenx_corpus(spark, sf_dir, tenx_dir)
+        print(json.dumps({"build_secs": round(time.perf_counter() - t0, 2), "hw": hw_mops()}), flush=True)
+        for name in TENX_OPS:
+            _force(spark, REGISTRY[name].fn(spark, "/root/testdata/sf0.001"))  # warm plan
+            t0 = time.perf_counter()
+            spark.sparkContext.setJobDescription(f"tenx:{name}")
+            _force(spark, REGISTRY[name].fn(spark, tenx_dir))
+            print(json.dumps({"op": name, "tenx_secs": round(time.perf_counter() - t0, 3)}), flush=True)
+        print(json.dumps({"hw_after": hw_mops()}))
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "passes"
     if mode == "passes":
@@ -184,3 +252,7 @@ if __name__ == "__main__":
         one(sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None)
     elif mode == "crawl":
         crawl_profile()
+    elif mode == "tenx":
+        tenx()
+    elif mode == "qprof":
+        qprof()

@@ -174,6 +174,30 @@ for _j in range(_N_MINHASH + 3):
 _MH_AB = _MH_AB[:_N_MINHASH]
 
 
+
+
+# k-token gram hashes composed from per-token hashes: each token is
+# xxhash64'd ONCE per doc, and every gram position is one multi-argument
+# xxhash64 over the k token hashes (order-sensitive seed chaining in the
+# JVM, no string building, no ANSI-mode overflow) — replacing the
+# slice + array_join + string-xxhash64 per gram position, whose string
+# construction dominated the CPU of the shingle family at 10x (stage
+# profile: ~200 CPU-seconds in the gram-build stage alone). The hash is
+# INTERNAL on every user: it only partitions grams into equality classes
+# (same tokens in same order -> same hash; 64-bit collisions are the
+# trade already documented at dedup_boilerplate_lines; a short doc's
+# missing tail positions are NULL, which multi-arg xxhash64 skips —
+# matching the shorter-join-string semantics of the string form), so
+# results and oracles are unchanged.
+
+
+def _gram_hash_sql(th_col: str, i_expr: str, k: int) -> str:
+    """Positional hash of the k token hashes starting at 1-based position
+    ``i_expr`` of the token-hash array ``th_col``."""
+    args = ", ".join(f"element_at({th_col}, {i_expr} + {j})" for j in range(k))
+    return f"xxhash64({args})"
+
+
 def _shingles(tokens_col):
     """Word-3-gram shingle array (string form — used by the Jaccard
     inverted index, NOT by minhash, which composes token hashes instead)."""
@@ -674,12 +698,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = corpus.join(
         F.broadcast(fr_ids), (F.col("doc_id") % 1_000_000) == F.col("fr_id"), "left_semi"
     )
+    # Shingle identity = composed positional hash of the 3 token hashes
+    # (each token xxhash64'd once, _gram_hash_sql) instead of building the
+    # shingle STRING and hashing it — equality classes unchanged
+    # (coalesce-0 stands in for a short doc's missing tail tokens, the
+    # minhash convention), and the hash was already internal-only (the
+    # oracle joins raw shingle text).
     post = (
         corpus.withColumn("__t", _tokens_col())
-        .withColumn("__sh", _shingles(F.col("__t")))
-        .select("doc_id", F.explode(F.array_distinct("__sh")).alias("s"))
-        .select("doc_id", F.xxhash64("s").alias("h"))
+        .withColumn("__th", F.expr("transform(__t, tok -> xxhash64(tok))"))
+        .withColumn(
+            "__sh",
+            F.expr(
+                "transform(sequence(0, greatest(size(__th) - 3, 0)), i -> "
+                + _gram_hash_sql("__th", "(i + 1)", 3)
+                + ")"
+            ),
+        )
+        .select("doc_id", F.explode(F.array_distinct("__sh")).alias("h"))
     )
+    # persist the postings: three consumers (sizes + both join sides) each
+    # re-executed the tokenize+shingle+distinct+explode chain. Round 5
+    # measured this persist as a 4-10x LOSS — but that was before the
+    # width pin, when the cache build ran on 1-2 scan tasks; at shuffle
+    # width the columnar build amortizes and the chain runs once.
+    post = post.persist()
+    _PERSISTED.append(post)
     sizes = post.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = post.select(F.col("doc_id").alias("doc_a"), "h")
     b = post.select(F.col("doc_id").alias("doc_b"), "h")
@@ -2234,13 +2278,28 @@ def bench_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup_boilerplate_lines). Measured at the 10x corpus: the string-
     # keyed variant cached multi-GB gram arrays and ran 16.4x the sf0.1
     # time (superlinear from cache spill); long keys restore ~linear.
+    # Composed positional gram hashes from per-token xxhash64 (each token
+    # hashed once, each gram 6 multiply-adds via _gram_hash_sql) — the
+    # slice+array_join+string-hash per gram position dominated the CPU of
+    # the shingle family at 10x; equality classes unchanged.
     gram_expr = F.expr(
-        f"transform(sequence(1, size(t) - {_CONTAM_N - 1}),"
-        f" i -> xxhash64(array_join(slice(t, i, {_CONTAM_N}), ' ')))"
+        f"transform(sequence(1, size(__th) - {_CONTAM_N - 1}),"
+        f" i -> {_gram_hash_sql('__th', 'i', _CONTAM_N)})"
     )
-    gset = (
-        toks.filter(F.size("t") >= _CONTAM_N)
-        .select("doc_id", "bench", F.array_distinct(gram_expr).alias("gs"))
+    with_th = toks.withColumn("__th", F.expr("transform(t, tok -> xxhash64(tok))"))
+    # ONE gram pass covering ALL docs (short docs get an empty array): the
+    # round-5 shape re-ran the whole tokenize+gram+distinct pipeline a
+    # second time in the ``train`` branch just to recount n_grams, which
+    # is simply size(gs) of the cached arrays (guide §2.4 duplicated
+    # subtrees). The CASE is safe here: gs is persisted, so the explode
+    # consumers read the cache barrier, never a conditional generator
+    # child (the pitfall documented below).
+    gset = with_th.select(
+        "doc_id",
+        "bench",
+        F.when(F.size("t") >= _CONTAM_N, F.array_distinct(gram_expr))
+        .otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+        .alias("gs"),
     )
     # Materialize the gram arrays: InferFiltersFromGenerate synthesizes
     # size(gs)>0 / isnotnull(gs) predicates under each explode and predicate
@@ -2264,12 +2323,8 @@ def bench_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # per-doc distinct-gram counts, zero for sub-N-token docs (n_grams is a
     # plain projection, not a generator child, so the CASE is fine here)
-    train = toks.filter(~F.col("bench")).select(
-        "doc_id",
-        F.when(F.size("t") >= _CONTAM_N, F.size(F.array_distinct(gram_expr)))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("n_grams"),
+    train = gset.filter(~F.col("bench")).select(
+        "doc_id", F.size("gs").cast("long").alias("n_grams")
     )
     return (
         train.join(hits, "doc_id", "left")
@@ -2846,27 +2901,39 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     corpus = _docs_with_prefix_copies(spark, sf_dir)
     toks = corpus.select("doc_id", _tokens_col().alias("t"))
-    base = toks.select(
-        "doc_id",
-        F.size("t").cast("long").alias("n_toks"),
-        F.greatest(F.size("t") - (_SPAN_K - 1), F.lit(0)).cast("long").alias("n_grams"),
-    )
-    # CASE-free generator child (pre-filtered), struct carries 1-based pos
+    # CASE-free generator child (pre-filtered), struct carries 1-based pos.
+    # Per-token xxhash64 ONCE, then each gram is 8 multiply-adds
+    # (_gram_hash_sql) — the slice+array_join+string-hash per position
+    # dominated this query's CPU at 10x (stage profile: the gram-build
+    # stage alone was ~200 CPU-seconds); equality classes unchanged.
     gram_expr = F.expr(
-        f"transform(sequence(1, size(t) - {_SPAN_K - 1}), i -> "
-        f"struct(i AS pos, xxhash64(array_join(slice(t, i, {_SPAN_K}), ' ')) AS gh))"
+        f"transform(sequence(1, size(__th) - {_SPAN_K - 1}), i -> "
+        f"struct(i AS pos, {_gram_hash_sql('__th', 'i', _SPAN_K)} AS gh))"
     )
-    # repartition by doc BEFORE the gram build: the documents scan is a
-    # couple of file splits, and without the exchange the whole shingle
-    # construction + explode would run at read width (measured 2 tasks at
-    # sf0.1) instead of the session's shuffle width
     # (width pin now lives in _docs_with_prefix_copies — one exchange)
+    # ONE tokenize pass for ALL docs: the cached frame carries n_toks next
+    # to the gram arrays (short docs: empty pgs), so ``base`` below reads
+    # the cache instead of re-tokenizing the whole corpus a second time
+    # (guide §2.4 duplicated subtrees). CASE under the persist barrier is
+    # safe — the explode consumer reads the InMemoryRelation, never a
+    # conditional generator child.
     gset = (
-        toks.filter(F.size("t") >= _SPAN_K)
-        .select("doc_id", gram_expr.alias("pgs"))
+        toks.withColumn("__th", F.expr("transform(t, tok -> xxhash64(tok))"))
+        .select(
+            "doc_id",
+            F.size("t").alias("__n"),
+            F.when(F.size("t") >= _SPAN_K, gram_expr)
+            .otherwise(F.expr("CAST(array() AS ARRAY<STRUCT<pos: INT, gh: BIGINT>>)"))
+            .alias("pgs"),
+        )
     )
     gset = gset.persist()
     _PERSISTED.append(gset)
+    base = gset.select(
+        "doc_id",
+        F.col("__n").cast("long").alias("n_toks"),
+        F.greatest(F.col("__n") - (_SPAN_K - 1), F.lit(0)).cast("long").alias("n_grams"),
+    )
     pg = gset.select("doc_id", F.explode("pgs").alias("g")).select(
         "doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh")
     )

@@ -309,14 +309,63 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join. Scale shape: |docs| x n_bands rows shuffled on band value;
     # no pairwise work outside shared buckets, and hot buckets (> _MAX_BUCKET,
     # the stop-shingle pathology) are explicitly skipped on both engines.
-    return _minhash_candidate_pairs(_docs_with_mutated_copies(spark, sf_dir))
+    return _minhash_pairs_from_th(_mutated_th(spark, sf_dir))
 
 
 def _minhash_candidate_pairs(corpus: DataFrame) -> DataFrame:
-    """(doc_a < doc_b) candidate pairs sharing any LSH band bucket."""
+    """(doc_a < doc_b) candidate pairs sharing any LSH band bucket, from a
+    ``(doc_id, text)`` corpus (tokenizes + hashes here)."""
+    th = corpus.withColumn("__t", _tokens_col()).select(
+        "doc_id", _token_hashes("__t").alias("__th")
+    )
+    return _minhash_pairs_from_th(th)
+
+
+def _mutated_th(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, __th) token-hash corpus of originals + every-7th-dropped
+    copies, hashing each ORIGINAL token exactly once.
+
+    Equivalent to tokenize+hash over _docs_with_mutated_copies by
+    construction: tokens match [a-z0-9]+ (no spaces), so
+    array_join(' ') -> re-split -> drop-empties reproduces the filtered
+    token array verbatim (including the empty-doc edge: join -> '' ->
+    split -> [''] -> filter -> []), and a positional filter commutes with
+    the elementwise md5 fold. The text-domain builder md5'd every token
+    of every generation again (~2x the hash work; 3x for the chained
+    corpus) — the md5 fold is the dominant CPU of the minhash family and
+    is oracle-pinned, so computing it once per ORIGINAL token is the only
+    available lever (guide §1.2: per-task work after plan shape)."""
+    d = _widen(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    base = d.withColumn("__t", _tokens_col()).select(
+        "doc_id", _token_hashes("__t").alias("__th")
+    )
+    g1 = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.filter("__th", lambda x, i: (i % 7) != 6).alias("__th"),
+    )
+    return base.unionByName(g1)
+
+
+def _chained_th(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, __th) token-hash corpus of the chained-mutation
+    generations (see _mutated_th for the equivalence argument)."""
+    d = _widen(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    base = d.withColumn("__t", _tokens_col()).select(
+        "doc_id", _token_hashes("__t").alias("__th")
+    )
+    g1f = F.filter("__th", lambda x, i: (i % 7) != 6)
+    g1 = base.select((F.col("doc_id") + 1_000_000).alias("doc_id"), g1f.alias("__th"))
+    g2 = base.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.filter(g1f, lambda x, i: (i % 5) != 4).alias("__th"),
+    )
+    return base.unionByName(g1).unionByName(g2)
+
+
+def _minhash_pairs_from_th(th_frame: DataFrame) -> DataFrame:
+    """(doc_a < doc_b) candidate pairs from a ``(doc_id, __th)`` corpus."""
     sigs = (
-        corpus.withColumn("__t", _tokens_col())
-        .withColumn("__th", _token_hashes("__t"))
+        th_frame
         .withColumn("__hs", _shingle_hashes_from_tokens("__th"))
         .select(
             "doc_id",
@@ -500,7 +549,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~2x the whole query at the 10x corpus). The pair set itself is tiny
     # (two longs per candidate pair), so the cache barrier costs nothing;
     # released via release_persisted() like every other builder persist.
-    pairs = _minhash_candidate_pairs(_docs_with_chained_copies(spark, sf_dir)).persist()
+    pairs = _minhash_pairs_from_th(_chained_th(spark, sf_dir)).persist()
     _PERSISTED.append(pairs)
     stars = connected_components(pairs)
     nodes = (

@@ -2008,7 +2008,11 @@ aggregate(
     tags=("text",),
 )
 def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _widen(load(spark, sf_dir, "documents")).select("doc_id", _tokens_col().alias("t"))
+    # NO width pin here, deliberately: this op is map-side only (zero
+    # aggregations/joins — plan shape pinned by test_repetition.py), so a
+    # repartition would add the op's ONLY exchange to save nothing at
+    # scale, where the scan is already thousands of splits wide.
+    d = load(spark, sf_dir, "documents").select("doc_id", _tokens_col().alias("t"))
     d = d.filter(F.size("t") >= 3).withColumn("n", F.size("t"))
     # word n-grams as expr strings (t[i] is 0-based in Spark SQL)
     d = d.withColumn(
